@@ -1,0 +1,250 @@
+"""Sampled-negative ranking evaluator (TPU-native rebuild).
+
+Behavioural spec from `/root/reference/cymf/evaluator.pyx`:
+
+* candidates per user = all test positives (label 1) + ``num_negatives``
+  uniform negatives rejection-sampled against train+test positives
+  (`evaluator.pyx:95-111`);
+* scores = ``H[items] @ W[user]``, sorted descending (`evaluator.pyx:113`);
+* per (metric, k) the reference's exact metric formulas are applied and the
+  result is averaged over **all** users, with users that have no test
+  positives contributing 0 (`evaluator.pyx:91-92` skips them but their slot
+  in the mean stays 0);
+* propensity scores for the IPS variants = per-item mean of the test matrix,
+  clipped at 1e-4 (`evaluator.pyx:50`).
+
+The rebuild replaces the serial per-user Python loop with a user-chunked,
+fully vectorized pipeline: negatives are drawn in one batch with
+``jax.random``, rejection is a vectorized CSR binary search
+(:func:`cymf_tpu.ops.segment.csr_contains`) with collision *masking*, scoring
+is one ``(C, L, K) x (C, K)`` contraction per chunk on the MXU, and all
+metrics are computed in a single fused pass.
+
+Fixed reference defects (SURVEY.md §7 "known defects", do-not-replicate):
+
+* the f-string typo ``f"{metric)}@{k}"`` (`evaluator.pyx:89,137`);
+* the IPS propensity indexing bug: `evaluator.pyx:114` indexes
+  ``propensity_scores`` by *sort position* instead of by item id; we gather
+  the propensity of the actual candidate item.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+from .. import config
+from ..ops.segment import csr_contains
+from . import metrics as M
+
+_METRIC_FNS = {
+    ("DCG", False): M.dcg_at_k_batch,
+    ("Recall", False): M.recall_at_k_batch,
+    ("MAP", False): M.average_precision_at_k_batch,
+    ("DCG", True): M.dcg_at_k_with_ips_batch,
+    ("Recall", True): M.recall_at_k_with_ips_batch,
+    ("MAP", True): M.average_precision_at_k_with_ips_batch,
+}
+
+NEG_OVERSAMPLE = 4  # draws NEG_OVERSAMPLE * num_negatives, keeps first valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_negatives", "ks", "metric_names", "unbiased"))
+def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, all_indptr,
+                    all_indices, props, key, *, num_negatives: int,
+                    ks: tuple, metric_names: tuple, unbiased: bool):
+    """Metric values for one chunk of users.
+
+    Args:
+      W: [U, K] user table;  H: [I, K] item table.
+      user_ids: int32[C] global user ids for this chunk.
+      pos_pad: int32[C, P] padded test-positive item ids.
+      pos_valid: bool[C, P] validity mask for ``pos_pad``.
+      all_indptr/all_indices: CSR of train+test positives (rejection set).
+      props: float[I] per-item propensities.
+      key: PRNG key for this chunk's negative draws.
+
+    Returns [n_metrics, n_ks, C] metric values (0 for users w/o positives).
+    """
+    C, P = pos_pad.shape
+    I = H.shape[0]
+    R = NEG_OVERSAMPLE * num_negatives
+
+    # --- negatives: oversample, reject via CSR membership, keep first valid.
+    draws = jax.random.randint(key, (C, R), 0, I, dtype=pos_pad.dtype)
+    flat_users = jnp.repeat(user_ids, R)
+    collide = csr_contains(all_indptr, all_indices, flat_users,
+                           draws.reshape(-1)).reshape(C, R)
+    # stable sort: valid draws first, in draw order
+    order = jnp.argsort(collide, axis=-1, stable=True)
+    neg_items = jnp.take_along_axis(draws, order[:, :num_negatives], axis=-1)
+    num_valid = jnp.sum(~collide, axis=-1, keepdims=True)
+    neg_valid = (jnp.arange(num_negatives)[None, :] < num_valid)
+
+    # --- candidate list: positives then negatives (L = P + num_negatives).
+    cand = jnp.concatenate([pos_pad, neg_items], axis=-1)
+    valid = jnp.concatenate([pos_valid, neg_valid], axis=-1)
+    labels = jnp.concatenate(
+        [pos_valid.astype(W.dtype),
+         jnp.zeros((C, num_negatives), W.dtype)], axis=-1)
+
+    # --- score on the MXU and sort descending; invalid slots sink to -inf.
+    h = H[cand]                                   # [C, L, K]
+    w = W[user_ids]                               # [C, K]
+    scores = jnp.einsum("clk,ck->cl", h, w,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    sort_idx = jnp.argsort(-scores, axis=-1)
+    labels_sorted = jnp.take_along_axis(labels, sort_idx, axis=-1)
+
+    if unbiased:
+        p = props[cand]
+        p_sorted = jnp.take_along_axis(p, sort_idx, axis=-1)
+    else:
+        p_sorted = None
+
+    out = []
+    for name in metric_names:
+        fn = _METRIC_FNS[(name, unbiased)]
+        row = []
+        for k in ks:
+            row.append(fn(labels_sorted, p_sorted, k) if unbiased
+                       else fn(labels_sorted, k))
+        out.append(jnp.stack(row))
+    return jnp.stack(out)  # [n_metrics, n_ks, C]
+
+
+class Evaluator:
+    """API-compatible rebuild of ``cymf.evaluator.Evaluator``.
+
+    ``evaluate(W, H, seed)`` returns ``{f"{metric}@{k}": float}`` averaged
+    over all users of the test matrix.
+    """
+
+    def __init__(self, X, X_train=None,
+                 metrics: Sequence[str] = ("DCG", "Recall", "MAP"),
+                 k: Union[int, Sequence[int]] = 5,
+                 num_negatives: int = 100,
+                 unbiased: bool = False):
+        X = sparse.csr_matrix(X)
+        user_positives = X.copy()
+        if X_train is not None:
+            user_positives = user_positives + sparse.csr_matrix(X_train)
+        X = X.astype(np.float64)
+        user_positives = user_positives.astype(np.float64)
+        user_positives.sort_indices()
+        X.sort_indices()
+
+        self.X = X
+        self.user_positives = user_positives
+        # per-item mean of the *test* matrix, clipped (evaluator.pyx:50)
+        self.propensity_scores = np.maximum(
+            np.asarray(X.mean(axis=0)).flatten(), 1e-4)
+        self.metrics = list(metrics)
+        self.k = k
+        self.num_negatives = int(num_negatives)
+        self.unbiased = bool(unbiased)
+
+        U, I = X.shape
+        deg = np.diff(X.indptr)
+        self._max_pos = int(deg.max()) if U > 0 and deg.size else 0
+        # padded per-user test positives
+        P = max(self._max_pos, 1)
+        pos_pad = np.zeros((U, P), dtype=np.int32)
+        pos_valid = np.zeros((U, P), dtype=bool)
+        for u in range(U):
+            lo, hi = X.indptr[u], X.indptr[u + 1]
+            n = hi - lo
+            pos_pad[u, :n] = X.indices[lo:hi]
+            pos_valid[u, :n] = True
+        self._pos_pad = pos_pad
+        self._pos_valid = pos_valid
+        self._device_state = None
+
+    def _to_device(self):
+        if self._device_state is None:
+            up = self.user_positives
+            self._device_state = dict(
+                pos_pad=jnp.asarray(self._pos_pad),
+                pos_valid=jnp.asarray(self._pos_valid),
+                all_indptr=jnp.asarray(up.indptr.astype(np.int32)),
+                all_indices=jnp.asarray(up.indices.astype(np.int32)),
+                props=jnp.asarray(self.propensity_scores,
+                                  dtype=config.param_dtype()),
+            )
+        return self._device_state
+
+    def _chunk_size(self, L: int, K: int) -> int:
+        # target ~128 MB of gathered candidate embeddings per chunk
+        budget = 32 * 1024 * 1024  # floats
+        return int(max(64, min(self.X.shape[0], budget // max(L * K, 1))))
+
+    def evaluate(self, W, H, seed: int = 1234) -> dict:
+        if isinstance(self.k, int):
+            self.k = [self.k]
+        ks = tuple(int(k) for k in self.k)
+        metric_names = tuple(self.metrics)
+
+        U, I = self.X.shape
+        Wd = jnp.asarray(W, dtype=config.param_dtype())
+        Hd = jnp.asarray(H, dtype=config.param_dtype())
+        K = Wd.shape[1]
+        st = self._to_device()
+        P = st["pos_pad"].shape[1]
+        L = P + self.num_negatives
+        C = self._chunk_size(L, K)
+
+        key = jax.random.PRNGKey(seed)
+        sums = np.zeros((len(metric_names), len(ks)), dtype=np.float64)
+        for start in range(0, U, C):
+            chunk_users = np.arange(start, min(start + C, U), dtype=np.int32)
+            n = len(chunk_users)
+            if n < C:  # pad chunk; padded users have no positives -> 0
+                pad = np.zeros(C - n, dtype=np.int32)
+                chunk_users = np.concatenate([chunk_users, pad])
+            uids = jnp.asarray(chunk_users)
+            vals = _evaluate_chunk(
+                Wd, Hd, uids,
+                st["pos_pad"][uids],
+                jnp.where((jnp.arange(C) < n)[:, None],
+                          st["pos_valid"][uids], False),
+                st["all_indptr"], st["all_indices"], st["props"],
+                jax.random.fold_in(key, start),
+                num_negatives=self.num_negatives, ks=ks,
+                metric_names=metric_names, unbiased=self.unbiased)
+            sums += np.asarray(vals, dtype=np.float64).sum(axis=-1)
+
+        buff = {}
+        for mi, name in enumerate(metric_names):
+            for ki, k in enumerate(ks):
+                buff[f"{name}@{k}"] = sums[mi, ki] / max(U, 1)
+        return buff
+
+
+class AverageOverAllEvaluator(Evaluator):
+    """`evaluator.pyx:141-145`."""
+
+    def __init__(self, X, X_train=None,
+                 metrics: Sequence[str] = ("DCG", "Recall", "MAP"),
+                 k: Union[int, Sequence[int]] = 5, num_negatives: int = 100):
+        super().__init__(X, X_train, metrics, k, num_negatives,
+                         unbiased=False)
+
+
+AoaEvaluator = AverageOverAllEvaluator
+
+
+class UnbiasedEvaluator(Evaluator):
+    """`evaluator.pyx:147-149`."""
+
+    def __init__(self, X, X_train=None,
+                 metrics: Sequence[str] = ("DCG", "Recall", "MAP"),
+                 k: Union[int, Sequence[int]] = 5, num_negatives: int = 100):
+        super().__init__(X, X_train, metrics, k, num_negatives, unbiased=True)
