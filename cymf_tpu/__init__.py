@@ -8,7 +8,7 @@ variants, and MovieLens / Yahoo R3 / text8 dataset loaders.
 Top-level API mirrors `/root/reference/cymf/__init__.py:1-7`.
 """
 
-from .models import BPR
+from .models import BPR, WMF, RelMF, ExpoMF, GloVe
 from .evaluation.evaluator import (Evaluator, AverageOverAllEvaluator,
                                    AoaEvaluator, UnbiasedEvaluator)
 from . import evaluation as evaluator  # cymf exposes `cymf.evaluator.*`
@@ -18,7 +18,7 @@ from .parallel import MeshContext, current_mesh, use_mesh
 
 __version__ = "0.1.0"
 __all__ = [
-    "BPR", "Evaluator", "AverageOverAllEvaluator", "AoaEvaluator",
+    "BPR", "WMF", "RelMF", "ExpoMF", "GloVe", "Evaluator", "AverageOverAllEvaluator", "AoaEvaluator",
     "UnbiasedEvaluator", "dataset", "evaluator", "optim",
     "MeshContext", "current_mesh", "use_mesh",
 ]

@@ -120,7 +120,8 @@ class BPR(MFTrainerBase):
         users = users.astype(np.int32)
         positives = positives.astype(np.int32)
         N = len(users)
-        B = min(self.batch_size, max(N, 1))
+        mesh_n = self.mesh.num_devices
+        B = self.mesh.pad_rows(min(self.batch_size, max(N, mesh_n)))
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:

@@ -1,0 +1,201 @@
+"""GloVe (Pennington et al. 2014) — TPU-native trainer.
+
+Behavioural spec from `/root/reference/cymf/glove.pyx` + `model.pyx:145-204`
++ `optimizer.pyx:85-123`: weighted least squares over co-occurrence counts,
+
+    diff = w_c . h_x + b_c + b_x - log(count)
+    f    = min((count / x_max)^alpha, 1)
+    L    = 0.5 * f * diff^2
+
+trained with AdaGrad (accumulators initialized to ones) over two embedding
+tables and two bias vectors; the final embedding is the average
+``(W_central + W_context) / 2`` (`glove.pyx:112`).
+
+Faithfully replicated quirk: the reference's backward emits the *bias*
+gradient once per latent dimension — K sequential AdaGrad bias updates per
+sample with the same gradient (`model.pyx:195-204`).  The synchronous batch
+equivalent is applied in closed form: K AdaGrad steps with constant g give
+``delta = -lr * g * sum_{t=1..K} rsqrt(a0 + t*g^2)`` and
+``accum += K * g^2``.
+
+Fixed reference defect (SURVEY.md §7): the context bias is sized by
+``X.shape[1]`` (the reference sizes it with ``X.shape[0]``,
+`glove.pyx:94` — identical for the square matrices it is used with).
+
+TPU-native redesign: the Hogwild ``prange`` over co-occurrence triples
+(`glove.pyx:151-153`) becomes a jitted ``lax.scan`` over minibatches with
+segment-sum dedup and sparse scatter updates, sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+from sklearn import utils as sk_utils
+from tqdm import tqdm
+
+from .. import config
+from ..ops.segment import dedup_rows
+from ..optim import AdaGrad
+from ..parallel.mesh import current_mesh
+
+
+def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int):
+    """K consecutive AdaGrad steps with a constant gradient, closed form."""
+    drop = bias.shape[0]
+    rows, g = dedup_rows(rows, grads, drop)
+    crows = jnp.clip(rows, 0, drop - 1)
+    a0 = accum[crows]
+    t = jnp.arange(1, k_steps + 1, dtype=bias.dtype)
+    denom = jnp.sqrt(a0[:, None] + t[None, :] * jnp.square(g)[:, None])
+    delta = -lr * g * jnp.sum(1.0 / denom, axis=1)
+    accum = accum.at[rows].set(a0 + k_steps * jnp.square(g), mode="drop",
+                               unique_indices=True)
+    bias = bias.at[rows].add(delta, mode="drop", unique_indices=True)
+    return bias, accum
+
+
+def _glove_epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
+                 n_steps_counts, n_valid, *, optimizer, x_max, alpha,
+                 learning_rate, num_components):
+    S, B = c_steps.shape
+    lr = learning_rate
+
+    def step(carry, xs):
+        Wc, Wx, bc, bx, ow, oh, abc, abx, loss_acc = carry
+        c, x, cnt, sidx = xs
+        in_data = (sidx * B + jnp.arange(B)) < n_valid
+        mf = in_data.astype(Wc.dtype)
+
+        wc, hx = Wc[c], Wx[x]
+        f = jnp.minimum(jnp.power(cnt / x_max, alpha), 1.0)
+        diff = (jnp.sum(wc * hx, axis=1) + bc[c] + bx[x]
+                - jnp.log(cnt))
+        loss = 0.5 * f * jnp.square(diff) * mf
+        fd = (f * diff * mf)[:, None]
+
+        Wc, ow = optimizer.update_rows(Wc, ow, c, fd * hx)
+        Wx, oh = optimizer.update_rows(Wx, oh, x, fd * wc)
+        bc, abc = _bias_kfold_update(bc, abc, c, fd[:, 0], lr,
+                                     num_components)
+        bx, abx = _bias_kfold_update(bx, abx, x, fd[:, 0], lr,
+                                     num_components)
+        return (Wc, Wx, bc, bx, ow, oh, abc, abx,
+                loss_acc + jnp.sum(loss)), None
+
+    init = (Wc, Wx, bc, bx, ow, oh, abc, abx, jnp.zeros((), Wc.dtype))
+    (Wc, Wx, bc, bx, ow, oh, abc, abx, loss), _ = jax.lax.scan(
+        step, init, (c_steps, x_steps, n_steps_counts, jnp.arange(S)))
+    return Wc, Wx, bc, bx, ow, oh, abc, abx, \
+        loss / jnp.maximum(n_valid, 1).astype(Wc.dtype)
+
+
+class GloVe:
+    """API-compatible rebuild of ``cymf.GloVe`` (`glove.pyx:46-75`)."""
+
+    def __init__(self, num_components: int = 50, learning_rate: float = 0.01,
+                 alpha: float = 0.75, x_max: float = 10.0,
+                 batch_size: int = 4096):
+        self.num_components = int(num_components)
+        self.learning_rate = float(learning_rate)
+        self.alpha = float(alpha)
+        self.x_max = float(x_max)
+        self.batch_size = int(batch_size)
+        self.W = None
+        self.bias = None
+
+    def fit(self, X, num_epochs: int, num_threads: int = 1,
+            verbose: bool = False):
+        """Train on a sparse co-occurrence matrix (`glove.pyx:75-112`).
+        ``num_threads`` accepted for API compatibility; ignored."""
+        if X is None:
+            raise ValueError()
+        if not sparse.issparse(X):
+            raise TypeError("X must be a type of scipy.sparse.*_matrix.")
+
+        K = self.num_components
+        V1, V2 = X.shape
+        # init per glove.pyx:91-94 (no seed: uses ambient numpy state)
+        W_central = np.random.uniform(-0.5, 0.5, (V1, K)) / K
+        central_bias = np.random.uniform(-0.5, 0.5, (V1,)) / K
+        W_context = np.random.uniform(-0.5, 0.5, (V2, K)) / K
+        context_bias = np.random.uniform(-0.5, 0.5, (V2,)) / K
+
+        coo = X.tocoo()
+        central, context, counts = sk_utils.shuffle(
+            coo.row.astype(np.int32), coo.col.astype(np.int32),
+            coo.data.astype(np.float64))
+
+        N = len(central)
+        mesh = current_mesh()
+        B = mesh.pad_rows(min(self.batch_size, max(N, mesh.num_devices)))
+        S = max(1, -(-N // B))
+        pad = S * B - N
+        if pad:
+            central = np.concatenate([central, np.zeros(pad, np.int32)])
+            context = np.concatenate([context, np.zeros(pad, np.int32)])
+            counts = np.concatenate([counts, np.ones(pad)])
+
+        dtype = config.param_dtype()
+
+        def table(T):
+            n_pad = mesh.pad_rows(T.shape[0])
+            if n_pad != T.shape[0]:
+                T = np.concatenate(
+                    [T, np.zeros((n_pad - T.shape[0],) + T.shape[1:],
+                                 T.dtype)])
+            sh = mesh.table() if T.ndim == 2 else mesh.vector()
+            return jax.device_put(jnp.asarray(T, dtype), sh)
+
+        Wc, Wx = table(W_central), table(W_context)
+        bc, bx = table(central_bias), table(context_bias)
+        c_steps = jax.device_put(central.reshape(S, B), mesh.batch2d())
+        x_steps = jax.device_put(context.reshape(S, B), mesh.batch2d())
+        n_counts = jax.device_put(
+            jnp.asarray(counts.reshape(S, B), dtype), mesh.batch2d())
+
+        opt = AdaGrad(self.learning_rate)
+        ow, oh = opt.init(Wc), opt.init(Wx)
+        abc = jnp.ones_like(bc)  # accumulators init ones (optimizer.pyx:96-99)
+        abx = jnp.ones_like(bx)
+
+        epoch_jit = jax.jit(
+            functools.partial(_glove_epoch, optimizer=opt, x_max=self.x_max,
+                              alpha=self.alpha,
+                              learning_rate=self.learning_rate,
+                              num_components=K),
+            donate_argnums=tuple(range(8)))
+
+        loss = None
+        with tqdm(total=num_epochs, leave=True, ncols=100,
+                  disable=not verbose) as progress:
+            for it in range(num_epochs):
+                Wc, Wx, bc, bx, ow, oh, abc, abx, loss = epoch_jit(
+                    Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
+                    n_counts, jnp.asarray(N, jnp.int32))
+                progress.set_description(
+                    f"ITER={it + 1:{len(str(num_epochs))}}, "
+                    f"LOSS: {float(jax.device_get(loss)):.4f}")
+                progress.update(1)
+
+        self.last_loss = float(jax.device_get(loss)) if loss is not None \
+            else None
+        self.W_central = np.asarray(Wc[:V1], np.float64)
+        self.W_context = np.asarray(Wx[:V2], np.float64)
+        self.bias = np.asarray(bc[:V1], np.float64)
+        self.context_bias = np.asarray(bx[:V2], np.float64)
+        self.W = (self.W_central + self.W_context) / 2.0  # glove.pyx:112
+
+    def save_word2vec_format(self, path, index2word):
+        """gensim-compatible word2vec text export (`glove.pyx:164-177`)."""
+        from pathlib import Path
+        output = Path(path)
+        with output.open("w") as f:
+            f.write(f"{self.W.shape[0]} {self.W.shape[1]}\n")
+            for i in range(self.W.shape[0]):
+                f.write(f"{index2word[i]} "
+                        + " ".join(map(str, self.W[i])) + "\n")

@@ -1,0 +1,110 @@
+"""Weighted Matrix Factorization / implicit ALS (Hu, Koren, Volinsky 2008).
+
+Behavioural spec from `/root/reference/cymf/wmf.pyx`: per epoch, alternate
+closed-form least-squares sweeps over users then items.  For each row r with
+positive set P(r) over the other-side table Y:
+
+    A = Y^T Y + wd*I + (c-1) * sum_{i in P(r)} y_i y_i^T
+    b = c * sum_{i in P(r)} y_i
+    row <- A^{-1} b          (zeros when P(r) is empty, `wmf.pyx:154-156`)
+
+with confidence weight ``c`` (default 10, `wmf.pyx:46`).
+
+TPU-native redesign: the per-row OpenMP loop with per-thread malloc + LAPACK
+``dgesv`` (`wmf.pyx:150-174`) becomes degree-bucketed *batched* solves — the
+Gramian is one MXU matmul (psum-reduced across the mesh when Y is
+row-sharded), rank-deg corrections are one batched einsum per chunk, and the
+K x K systems are solved by batched Cholesky (LU optional, matching dgesv).
+The reference's malloc leak on empty rows (`wmf.pyx:151-156`) has no
+analogue here.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+from .. import config
+from ..ops.als import AlsChunk, build_chunks, wmf_chunk_solve
+from .base import MFTrainerBase, as_csr
+
+
+class WMF(MFTrainerBase):
+    """API-compatible rebuild of ``cymf.WMF`` (`wmf.pyx:32-59`)."""
+
+    def __init__(self, num_components: int = 20, weight_decay: float = 0.01,
+                 weight: float = 10.0, chunk_size: int = 2048,
+                 solver: str = "cholesky"):
+        super().__init__(num_components)
+        self.weight_decay = float(weight_decay)
+        self.weight = float(weight)
+        self.chunk_size = int(chunk_size)
+        if solver not in ("cholesky", "lu"):
+            raise ValueError("solver must be 'cholesky' or 'lu'")
+        self.solver = solver
+
+    def fit(self, X, num_epochs: int = 5, num_threads: int = 1,
+            valid_evaluator=None, early_stopping: bool = False,
+            verbose: bool = True):
+        X = as_csr(X)
+        self.valid_evaluator = valid_evaluator
+        self.valid_dcg = -np.inf
+        self.early_stopping = early_stopping
+        if early_stopping and valid_evaluator is None:
+            raise ValueError()
+
+        U, I = X.shape
+        self._num_users, self._num_items = U, I
+        self._ensure_tables(U, I)
+
+        mesh = self.mesh
+        Wd = self._pad_table(self.W)
+        Hd = self._pad_table(self.H)
+        self._state = {"W": Wd, "H": Hd}
+
+        Xt = X.T.tocsr()
+        Xt.sort_indices()
+        user_chunks = self._device_chunks(
+            build_chunks(X, self.chunk_size, Wd.shape[0]))
+        item_chunks = self._device_chunks(
+            build_chunks(Xt, self.chunk_size, Hd.shape[0]))
+        eye = jnp.eye(self.num_components, dtype=config.param_dtype())
+        wd = self.weight_decay
+        weight = jnp.asarray(self.weight, config.param_dtype())
+
+        def half_sweep(target_key: str, source_key: str,
+                       chunks: List[AlsChunk]):
+            Y = self._state[source_key]
+            A0 = (jnp.matmul(Y.T, Y, preferred_element_type=jnp.float32)
+                  + wd * eye)
+            T = self._state[target_key]
+            for ch in chunks:
+                rows = wmf_chunk_solve(Y, A0, ch.idx_pad, ch.valid, weight,
+                                       solver=self.solver)
+                T = T.at[ch.rows].set(rows, mode="drop", unique_indices=True)
+            self._state[target_key] = T
+
+        def epoch_fn(epoch):
+            half_sweep("W", "H", user_chunks)   # wmf.pyx:111
+            half_sweep("H", "W", item_chunks)   # wmf.pyx:112
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, ncols=100)
+        self._finalize_fit()
+
+    def _device_chunks(self, chunks: List[AlsChunk]) -> List[AlsChunk]:
+        put = self.mesh.put_replicated
+        return [AlsChunk(put(jnp.asarray(c.rows)), put(jnp.asarray(c.idx_pad)),
+                         put(jnp.asarray(c.valid)),
+                         put(jnp.asarray(c.weights)))
+                for c in chunks]

@@ -1,0 +1,120 @@
+"""Batched ALS solve primitives (shared by WMF and ExpoMF).
+
+The reference solves one K x K system per user/item row inside an OpenMP
+loop, with per-thread ``malloc`` and LAPACK ``dgesv``
+(`/root/reference/cymf/wmf.pyx:150-174`, `linalg.pyx:144-163`).  The
+TPU-native formulation batches rows:
+
+* the shared Gramian ``YtY`` is one ``K x K`` matmul on the MXU (row-sharded
+  ``Y`` makes this a local matmul + psum inserted by XLA);
+* per-row rank-``deg`` corrections come from a padded gather of the row's
+  positives: ``A_c = A0 + (c-1) * sub^T sub`` as one batched einsum;
+* the solves are batched Cholesky (SPD by construction for ``weight >= 1``,
+  ``weight_decay > 0``) with an LU (``jnp.linalg.solve``) option mirroring
+  the reference's dgesv.
+
+Rows are grouped into degree-bucketed chunks on the host (ascending-degree
+sort, pad length rounded to a power of two) so the padded gather stays tight
+at ML-20M scale instead of a dense ``rows x max_degree`` matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+
+def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve via Cholesky: A [..., K, K], b [..., K]."""
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False)
+    return x[..., 0]
+
+
+def solve_lu(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched LU solve (the reference's dgesv analogue)."""
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+_SOLVERS = {"cholesky": solve_spd, "lu": solve_lu}
+
+
+class AlsChunk(NamedTuple):
+    """One degree-bucketed chunk of rows to solve together."""
+    rows: np.ndarray      # int32[C] target row ids (sentinel = drop)
+    idx_pad: np.ndarray   # int32[C, P] padded positive indices into Y
+    valid: np.ndarray     # bool[C, P]
+    weights: np.ndarray   # float32[C, P] per-entry confidence weights (X data)
+
+
+def build_chunks(X: sparse.csr_matrix, chunk_size: int,
+                 drop_sentinel: int) -> List[AlsChunk]:
+    """Degree-bucketed chunking of CSR rows.
+
+    Rows are sorted by degree ascending; each chunk of ``chunk_size`` rows is
+    padded to the next power of two >= its max degree.  Partial chunks are
+    padded with sentinel rows (dropped at scatter time).
+    """
+    n = X.shape[0]
+    deg = np.diff(X.indptr)
+    order = np.argsort(deg, kind="stable").astype(np.int64)
+    chunks: List[AlsChunk] = []
+    for start in range(0, n, chunk_size):
+        sel = order[start:start + chunk_size]
+        c = len(sel)
+        pmax = int(deg[sel].max()) if c else 0
+        P = 1
+        while P < max(pmax, 1):
+            P *= 2
+        idx_pad = np.zeros((chunk_size, P), dtype=np.int32)
+        valid = np.zeros((chunk_size, P), dtype=bool)
+        weights = np.zeros((chunk_size, P), dtype=np.float32)
+        rows = np.full(chunk_size, drop_sentinel, dtype=np.int32)
+        rows[:c] = sel
+        for k, r in enumerate(sel):
+            lo, hi = X.indptr[r], X.indptr[r + 1]
+            d = hi - lo
+            idx_pad[k, :d] = X.indices[lo:hi]
+            valid[k, :d] = True
+            weights[k, :d] = X.data[lo:hi]
+        chunks.append(AlsChunk(rows, idx_pad, valid, weights))
+    return chunks
+
+
+@functools.partial(jax.jit, static_argnames=("solver",))
+def wmf_chunk_solve(Y, A0, idx_pad, valid, weight, *, solver: str):
+    """Solve one WMF chunk: per row r,
+    A = A0 + (weight-1) * sum_{i in pos(r)} y_i y_i^T,  b = weight * sum y_i
+    (`wmf.pyx:161-168`).  Rows with no positives return zeros
+    (`wmf.pyx:154-156`)."""
+    sub = Y[idx_pad] * valid[..., None].astype(Y.dtype)       # (C, P, K)
+    A = A0[None] + (weight - 1.0) * jnp.einsum(
+        "cpk,cpl->ckl", sub, sub, preferred_element_type=jnp.float32)
+    b = weight * jnp.sum(sub, axis=1)
+    x = _SOLVERS[solver](A, b)
+    nonempty = jnp.any(valid, axis=1, keepdims=True)
+    return jnp.where(nonempty, x, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("solver",))
+def weighted_chunk_solve(Y, A0, idx_pad, valid, entry_weights, *,
+                         solver: str):
+    """General per-entry-weighted chunk solve:
+    A = A0 + sum_i w_i y_i y_i^T,  b = sum_i w_i y_i  over the row's padded
+    entries.  Used where confidences vary per cell."""
+    mask = valid[..., None].astype(Y.dtype)
+    sub = Y[idx_pad] * mask                                   # (C, P, K)
+    wsub = sub * entry_weights[..., None]
+    A = A0[None] + jnp.einsum("cpk,cpl->ckl", wsub, sub,
+                              preferred_element_type=jnp.float32)
+    b = jnp.sum(wsub, axis=1)
+    x = _SOLVERS[solver](A, b)
+    nonempty = jnp.any(valid, axis=1, keepdims=True)
+    return jnp.where(nonempty, x, 0.0)

@@ -1,0 +1,97 @@
+"""WMF tests: exact numerical parity of the batched-Cholesky ALS against a
+straightforward numpy implementation of the reference update equations
+(`/root/reference/cymf/wmf.pyx:136-174`), plus convergence checks."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from cymf_tpu import AoaEvaluator
+from cymf_tpu.models.wmf import WMF
+from cymf_tpu.dataset import SyntheticImplicitDataset
+
+
+def _numpy_als_epochs(X, W, H, weight, wd, epochs):
+    """Direct implementation of the ALS equations from the paper/reference:
+    per row A = YtY + wd I + (c-1) sum yy^T, b = c sum y, zeros for empty."""
+    W = W.copy()
+    H = H.copy()
+    K = W.shape[1]
+
+    def sweep(csr, Xtab, Y):
+        YtY = Y.T @ Y
+        A0 = YtY + wd * np.eye(K)
+        for r in range(csr.shape[0]):
+            idx = csr.indices[csr.indptr[r]:csr.indptr[r + 1]]
+            if len(idx) == 0:
+                Xtab[r] = 0.0
+                continue
+            sub = Y[idx]
+            A = A0 + (weight - 1.0) * sub.T @ sub
+            b = weight * sub.sum(axis=0)
+            Xtab[r] = np.linalg.solve(A, b)
+
+    Xt = X.T.tocsr()
+    for _ in range(epochs):
+        sweep(X, W, H)
+        sweep(Xt, H, W)
+    return W, H
+
+
+@pytest.fixture(scope="module")
+def data():
+    return SyntheticImplicitDataset(num_user=90, num_item=70, rank=4,
+                                    density=0.15, seed=2)
+
+
+@pytest.mark.parametrize("solver", ["cholesky", "lu"])
+def test_wmf_matches_numpy_reference_equations(data, solver):
+    X = sparse.csr_matrix(data.train).astype(np.float64)
+    model = WMF(num_components=8, weight_decay=0.05, weight=5.0,
+                chunk_size=32, solver=solver)
+    model.fit(X, num_epochs=2, verbose=False)
+
+    np.random.seed(4321)
+    K = 8
+    W0 = np.random.uniform(-0.1, 0.1, size=(X.shape[0], K)) / K
+    H0 = np.random.uniform(-0.1, 0.1, size=(X.shape[1], K)) / K
+    W_ref, H_ref = _numpy_als_epochs(X, W0, H0, 5.0, 0.05, 2)
+
+    np.testing.assert_allclose(model.W, W_ref, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(model.H, H_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_wmf_empty_rows_zeroed():
+    X = np.zeros((6, 5))
+    X[0, :3] = 1.0
+    X[2, 1] = 1.0  # rows 1,3,4,5 empty; column 0,2,3,4 partially empty
+    model = WMF(num_components=3, chunk_size=4)
+    model.fit(sparse.csr_matrix(X), num_epochs=1, verbose=False)
+    np.testing.assert_allclose(model.W[[1, 3, 4, 5]], 0.0)
+    np.testing.assert_allclose(model.H[[3, 4]], 0.0)  # items 3,4 unobserved
+
+
+def test_wmf_improves_ranking(data):
+    ev = AoaEvaluator(data.test, data.train, metrics=["DCG"], k=5)
+    model = WMF(num_components=8, weight_decay=0.05, weight=10.0)
+    np.random.seed(4321)
+    W0 = np.random.uniform(-0.1, 0.1, (data.num_user, 8)) / 8
+    H0 = np.random.uniform(-0.1, 0.1, (data.num_item, 8)) / 8
+    before = ev.evaluate(W0, H0)["DCG@5"]
+    model.fit(data.train, num_epochs=5, verbose=False)
+    after = ev.evaluate(model.W, model.H)["DCG@5"]
+    assert after > before + 0.1, (before, after)
+
+
+def test_wmf_early_stopping(data):
+    ev = AoaEvaluator(data.valid, data.train, metrics=["DCG"], k=5)
+    model = WMF(num_components=8)
+    model.fit(data.train, num_epochs=40, valid_evaluator=ev,
+              early_stopping=True, verbose=False)
+    restored = ev.evaluate(model.W, model.H)["DCG@5"]
+    assert restored == pytest.approx(model.valid_dcg, abs=1e-6)
+
+
+def test_wmf_invalid_solver():
+    with pytest.raises(ValueError):
+        WMF(solver="qr")
