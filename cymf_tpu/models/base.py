@@ -168,19 +168,28 @@ class MFTrainerBase:
 
     # -- fit loop -----------------------------------------------------------
     def _run_epochs(self, num_epochs: int, epoch_fn, snapshot_fn, restore_fn,
-                    verbose: bool, desc_extra_fn=None, ncols: int = 120):
+                    verbose: bool, desc_extra_fn=None, ncols: int = 120,
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_every: int = 1, start_epoch: int = 0):
         """Run ``epoch_fn(epoch) -> loss`` with validation/early stopping.
 
         Mirrors the loop at `bpr.pyx:160-190`: per-epoch validation via
         ``valid_evaluator.evaluate(W, H)["DCG@5"]``, stop after >10
         consecutive non-improving epochs, restore best weights at the end.
+
+        When ``checkpoint_path`` is set, the live device state is written
+        every ``checkpoint_every`` epochs (atomic npz; see
+        ``cymf_tpu.utils.checkpoint``) so a killed run can resume.
         """
         stopper = EarlyStopper(self.early_stopping)
         valid_dcg = None
         with tqdm(total=num_epochs, leave=True, ncols=ncols,
-                  disable=not verbose) as progress:
-            for epoch in range(num_epochs):
+                  initial=start_epoch, disable=not verbose) as progress:
+            for epoch in range(start_epoch, num_epochs):
                 epoch_fn(epoch)
+                if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+                    from ..utils.checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_path, self._state, epoch)
                 if self.valid_evaluator:
                     valid_dcg = self.valid_evaluator.evaluate(
                         self.W, self.H)["DCG@5"]

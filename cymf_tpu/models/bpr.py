@@ -36,14 +36,33 @@ import numpy as np
 from sklearn import utils as sk_utils
 
 from .. import config
-from ..ops.segment import csr_contains
+from ..ops.hashset import build_pair_hashset, hashset_contains
 from ..optim import make_optimizer
 from .base import MFTrainerBase, as_csr
 
 
-def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, indptr, indices,
-               n_valid, key, *, optimizer, weight_decay, num_items):
-    """One epoch: scan over minibatch steps. Returns new state + mean loss."""
+def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
+    """'auto' resolves to dense when the batch covers enough of the table
+    that a full-table pass is cheaper than sorted row-scatters."""
+    if mode != "auto":
+        return mode
+    return "dense" if batch_rows * 16 >= table_rows else "sparse"
+
+
+def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
+               optimizer, weight_decay, num_items, update_mode="dense"):
+    """One epoch: scan over minibatch steps. Returns new state + mean loss.
+
+    ``update_mode``:
+      * "dense"  — scatter-add per-sample gradients into a table-shaped
+        buffer, then one masked full-table optimizer pass.  Duplicates
+        combine natively (no sort).  Fastest when the batch touches a
+        sizable fraction of the table.
+      * "sparse" — sort-dedup + row-scatter updates; O(batch) memory
+        traffic, for very large catalogs.
+    Both produce identical updates (one step per touched row with the
+    summed gradient).
+    """
     S, B = u_steps.shape
     wd = jnp.asarray(weight_decay, W.dtype)
 
@@ -53,7 +72,7 @@ def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, indptr, indices,
         skey = jax.random.fold_in(key, sidx)
         j = jax.random.randint(skey, (B,), 0, num_items, dtype=u.dtype)
         in_data = (sidx * B + jnp.arange(B)) < n_valid
-        collide = csr_contains(indptr, indices, u, j)
+        collide = hashset_contains(hs, u, j)
         mask = in_data & ~collide
         mf = mask.astype(W.dtype)[:, None]
 
@@ -69,10 +88,15 @@ def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, indptr, indices,
               + jnp.sum(jnp.square(hj), axis=1))
         loss = (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf[:, 0]
 
-        W, opt_w = optimizer.update_rows(W, opt_w, u, g_wu)
-        H, opt_h = optimizer.update_rows(
-            H, opt_h, jnp.concatenate([i, j]),
-            jnp.concatenate([g_hi, g_hj]))
+        if update_mode == "dense":
+            W, opt_w = optimizer.update_dense(W, opt_w, [(u, g_wu)])
+            H, opt_h = optimizer.update_dense(
+                H, opt_h, [(i, g_hi), (j, g_hj)])
+        else:
+            W, opt_w = optimizer.update_rows(W, opt_w, u, g_wu)
+            H, opt_h = optimizer.update_rows(
+                H, opt_h, jnp.concatenate([i, j]),
+                jnp.concatenate([g_hi, g_hj]))
         return (W, H, opt_w, opt_h, loss_acc + jnp.sum(loss)), None
 
     init = (W, H, opt_w, opt_h, jnp.zeros((), W.dtype))
@@ -86,24 +110,31 @@ class BPR(MFTrainerBase):
 
     def __init__(self, num_components: int = 20, learning_rate: float = 0.001,
                  optimizer: str = "adam", weight_decay: float = 0.01,
-                 batch_size: int = 1024):
+                 batch_size: int = 1024, update_mode: str = "auto"):
         super().__init__(num_components)
         self.learning_rate = float(learning_rate)
         self.optimizer = optimizer
         self.weight_decay = float(weight_decay)
         self.batch_size = int(batch_size)
+        if update_mode not in ("auto", "dense", "sparse"):
+            raise ValueError("update_mode must be auto|dense|sparse")
+        self.update_mode = update_mode
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
 
     def fit(self, X, num_epochs: int = 10, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
-            verbose: bool = True, seed: int = 1234):
+            verbose: bool = True, seed: int = 1234,
+            checkpoint_path=None, checkpoint_every: int = 1,
+            resume: bool = False):
         """Train; signature parity with `bpr.pyx:68`.
 
         ``num_threads`` is accepted for compatibility and ignored (SPMD over
         the mesh replaces Hogwild threads).  ``seed`` drives the negative
         sampler, matching the role of the reference's ``UniformGenerator``
-        seed (`bpr.pyx:148`).
+        seed (`bpr.pyx:148`).  ``checkpoint_path`` enables periodic
+        state checkpoints; ``resume=True`` continues from the checkpoint's
+        epoch with tables AND optimizer state restored.
         """
         X = as_csr(X)
         self.valid_evaluator = valid_evaluator
@@ -131,8 +162,9 @@ class BPR(MFTrainerBase):
         mesh = self.mesh
         u_steps = jax.device_put(users.reshape(S, B), mesh.batch2d())
         i_steps = jax.device_put(positives.reshape(S, B), mesh.batch2d())
-        indptr = mesh.put_replicated(jnp.asarray(X.indptr.astype(np.int32)))
-        indices = mesh.put_replicated(jnp.asarray(X.indices.astype(np.int32)))
+        coo = X.tocoo()
+        hs = build_pair_hashset(coo.row, coo.col)
+        hs = jax.tree_util.tree_map(mesh.put_replicated, hs)
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
@@ -140,20 +172,31 @@ class BPR(MFTrainerBase):
         opt_w = opt.init(Wd)
         opt_h = opt.init(Hd)
 
+        mode = choose_update_mode(self.update_mode, 3 * B,
+                                  Wd.shape[0] + Hd.shape[0])
         epoch_jit = jax.jit(
             functools.partial(_bpr_epoch, optimizer=opt,
-                              weight_decay=self.weight_decay, num_items=I),
+                              weight_decay=self.weight_decay, num_items=I,
+                              update_mode=mode),
             donate_argnums=(0, 1, 2, 3))
         base_key = jax.random.PRNGKey(seed)
         self._state = {"W": Wd, "H": Hd, "ow": opt_w, "oh": opt_h}
         self.last_loss = None
         self._last_loss_dev = None
 
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
+
         def epoch_fn(epoch):
             st = self._state
             st["W"], st["H"], st["ow"], st["oh"], self._last_loss_dev = \
                 epoch_jit(st["W"], st["H"], st["ow"], st["oh"],
-                          u_steps, i_steps, indptr, indices,
+                          u_steps, i_steps, hs,
                           jnp.asarray(N, jnp.int32),
                           jax.random.fold_in(base_key, epoch))
 
@@ -164,7 +207,9 @@ class BPR(MFTrainerBase):
             self.W, self.H = np.array(snap[0]), np.array(snap[1])
 
         self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
-                         verbose)
+                         verbose, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
         if self._last_loss_dev is not None:
             self.last_loss = float(jax.device_get(self._last_loss_dev))
         self._finalize_fit()

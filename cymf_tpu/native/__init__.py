@@ -29,7 +29,13 @@ def cooccurrence(lines_ids, vocab_size: int, window_size: int):
     """
     if not HAVE_NATIVE:
         raise ImportError("native extension not built")
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lines_ids]) \
-        if lines_ids else np.zeros(0, np.int64)
-    lens = np.asarray([len(x) for x in lines_ids], dtype=np.int64)
-    return _native.cooccurrence(flat, lens, int(vocab_size), int(window_size))
+    flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in lines_ids])
+        if lines_ids else np.zeros(0, np.int64))
+    lens = np.ascontiguousarray(
+        np.asarray([len(x) for x in lines_ids], dtype=np.int64))
+    keys_b, vals_b = _native.cooccurrence(flat, lens, int(vocab_size),
+                                          int(window_size))
+    keys = np.frombuffer(keys_b, dtype=np.int64)
+    vals = np.frombuffer(vals_b, dtype=np.float64)
+    return keys, vals

@@ -1,0 +1,26 @@
+"""ExpoMF on MovieLens — parity with the reference example."""
+
+import argparse
+
+import cymf_tpu as cymf
+
+parser = argparse.ArgumentParser(description="")
+parser.add_argument("--max_epochs", type=int, default=300)
+parser.add_argument("--num_components", type=int, default=20)
+parser.add_argument("--weight_decay", type=float, default=1e-2)
+parser.add_argument("--lam_y", type=float, default=1.0)
+parser.add_argument("--num_threads", type=int, default=8)
+parser.add_argument("--dataset", type=str, default="ml-100k")
+args = parser.parse_args()
+
+dataset = cymf.dataset.MovieLens(args.dataset)
+valid_evaluator = cymf.evaluator.AverageOverAllEvaluator(
+    dataset.valid, dataset.train, metrics=["DCG"], k=5)
+test_evaluator = cymf.evaluator.AverageOverAllEvaluator(
+    dataset.test, dataset.train, k=5)
+model = cymf.ExpoMF(num_components=args.num_components, lam_y=args.lam_y,
+                    weight_decay=args.weight_decay)
+model.fit(dataset.train, num_epochs=args.max_epochs,
+          num_threads=args.num_threads, valid_evaluator=valid_evaluator,
+          early_stopping=True)
+print(test_evaluator.evaluate(model.W, model.H))

@@ -1,0 +1,54 @@
+"""Checkpoint/resume tests: save + restore pytrees, and BPR mid-fit resume
+producing the same result as an uninterrupted run."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cymf_tpu import BPR
+from cymf_tpu.dataset import SyntheticImplicitDataset
+from cymf_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_save_load_roundtrip(tmp_path):
+    state = {"W": jnp.arange(12.0).reshape(3, 4),
+             "opt": {"m": jnp.ones((3, 4)), "v": jnp.zeros((3, 4))}}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, epoch=7, meta={"lr": 0.01})
+    loaded, epoch, meta = load_checkpoint(p, state)
+    assert epoch == 7
+    assert float(meta["lr"]) == pytest.approx(0.01)
+    np.testing.assert_allclose(np.asarray(loaded["W"]),
+                               np.asarray(state["W"]))
+    np.testing.assert_allclose(np.asarray(loaded["opt"]["v"]), 0.0)
+
+
+def test_load_missing_leaf_raises(tmp_path):
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, {"a": jnp.zeros(2)}, epoch=0)
+    with pytest.raises(KeyError):
+        load_checkpoint(p, {"a": jnp.zeros(2), "b": jnp.zeros(3)})
+
+
+def test_bpr_resume_matches_uninterrupted(tmp_path):
+    data = SyntheticImplicitDataset(num_user=80, num_item=50, rank=4,
+                                    density=0.15, seed=4)
+    kw = dict(num_components=6, learning_rate=0.02, batch_size=128)
+    p = str(tmp_path / "bpr.npz")
+
+    # uninterrupted: 6 epochs
+    m1 = BPR(**kw)
+    m1.fit(data.train, num_epochs=6, verbose=False, seed=7)
+
+    # interrupted: 3 epochs w/ checkpoint, then resume to 6
+    m2 = BPR(**kw)
+    m2.fit(data.train, num_epochs=3, verbose=False, seed=7,
+           checkpoint_path=p)
+    m3 = BPR(**kw)
+    m3.fit(data.train, num_epochs=6, verbose=False, seed=7,
+           checkpoint_path=p, resume=True)
+
+    # identical modulo the epoch-3 restart of the shuffled order (we reuse
+    # the same seed so the shuffle and negative streams are identical)
+    np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(m3.H, m1.H, rtol=1e-4, atol=1e-6)

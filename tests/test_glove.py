@@ -107,3 +107,20 @@ def test_read_text_window_weighting(tmp_path):
     total = sum(1.0 / (j - k) for j in range(n)
                 for k in range(max(0, j - 10), j))
     assert X.toarray().sum() == pytest.approx(total)
+
+
+def test_native_cooccurrence_matches_python(tmp_path):
+    """C++ accumulator must agree exactly with the numpy fallback."""
+    import numpy as np
+    from cymf_tpu.dataset.text import _python_cooccurrence
+    from cymf_tpu import native as native_mod
+    if not native_mod.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(0)
+    lines = [rng.integers(0, 40, size=rng.integers(0, 60)).tolist()
+             for _ in range(50)]
+    kp, vp = _python_cooccurrence(lines, 40, 7)
+    kn, vn = native_mod.cooccurrence(lines, 40, 7)
+    order = np.argsort(kn)
+    np.testing.assert_array_equal(kp, kn[order])
+    np.testing.assert_allclose(vp, vn[order], rtol=1e-12)
