@@ -11,6 +11,7 @@ Top-level API mirrors `/root/reference/cymf/__init__.py:1-7`.
 from .models import BPR, WMF, RelMF, ExpoMF, GloVe
 from .evaluation.evaluator import (Evaluator, AverageOverAllEvaluator,
                                    AoaEvaluator, UnbiasedEvaluator)
+from .evaluation.recommend import recommend
 from . import evaluation as evaluator  # cymf exposes `cymf.evaluator.*`
 from . import dataset
 from . import optim
@@ -19,6 +20,6 @@ from .parallel import MeshContext, current_mesh, use_mesh
 __version__ = "0.1.0"
 __all__ = [
     "BPR", "WMF", "RelMF", "ExpoMF", "GloVe", "Evaluator", "AverageOverAllEvaluator", "AoaEvaluator",
-    "UnbiasedEvaluator", "dataset", "evaluator", "optim",
+    "UnbiasedEvaluator", "recommend", "dataset", "evaluator", "optim",
     "MeshContext", "current_mesh", "use_mesh",
 ]

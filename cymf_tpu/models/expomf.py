@@ -122,7 +122,8 @@ class ExpoMF(MFTrainerBase):
 
     def fit(self, X, num_epochs: int = 5, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
-            verbose: bool = True):
+            verbose: bool = True, checkpoint_path=None,
+            checkpoint_every: int = 1, resume: bool = False):
         X = as_csr(X)
         self.valid_evaluator = valid_evaluator
         self.valid_dcg = -np.inf
@@ -151,7 +152,17 @@ class ExpoMF(MFTrainerBase):
         ridge = (self.weight_decay / self.lam_y) * jnp.eye(
             self.num_components, dtype=dtype)               # expomf.pyx:171
         prefactor = jnp.asarray(self.prefactor, dtype)
-        mu = jnp.full((Hd.shape[0],), 0.01, dtype)          # expomf.pyx:111
+        mu = mesh.put_replicated(
+            jnp.full((Hd.shape[0],), 0.01, dtype))          # expomf.pyx:111
+        self._state["mu"] = mu
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
+            mu = self._state["mu"]
 
         def epoch_fn(epoch):
             nonlocal mu
@@ -193,6 +204,7 @@ class ExpoMF(MFTrainerBase):
             a1 = a2 = 1.0
             mu_new = (a1 + colsum - 1.0) / (a1 + a2 + U - 2.0)
             mu = mu.at[:I].set(mu_new)
+            self._state["mu"] = mu
 
         def snapshot_fn():
             return (self.W, self.H)
@@ -201,7 +213,9 @@ class ExpoMF(MFTrainerBase):
             self.W, self.H = np.array(snap[0]), np.array(snap[1])
 
         self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
-                         verbose, ncols=100)
+                         verbose, ncols=100, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
         self.mu = np.asarray(mu[:I])
         self._finalize_fit()
 

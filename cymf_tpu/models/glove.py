@@ -61,7 +61,7 @@ def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int):
 
 def _glove_epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
                  n_steps_counts, n_valid, *, optimizer, x_max, alpha,
-                 learning_rate, num_components):
+                 learning_rate, num_components, update_mode="dense"):
     S, B = c_steps.shape
     lr = learning_rate
 
@@ -78,8 +78,12 @@ def _glove_epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
         loss = 0.5 * f * jnp.square(diff) * mf
         fd = (f * diff * mf)[:, None]
 
-        Wc, ow = optimizer.update_rows(Wc, ow, c, fd * hx)
-        Wx, oh = optimizer.update_rows(Wx, oh, x, fd * wc)
+        if update_mode == "dense":
+            Wc, ow = optimizer.update_dense(Wc, ow, [(c, fd * hx)])
+            Wx, oh = optimizer.update_dense(Wx, oh, [(x, fd * wc)])
+        else:
+            Wc, ow = optimizer.update_rows(Wc, ow, c, fd * hx)
+            Wx, oh = optimizer.update_rows(Wx, oh, x, fd * wc)
         bc, abc = _bias_kfold_update(bc, abc, c, fd[:, 0], lr,
                                      num_components)
         bx, abx = _bias_kfold_update(bx, abx, x, fd[:, 0], lr,
@@ -99,12 +103,15 @@ class GloVe:
 
     def __init__(self, num_components: int = 50, learning_rate: float = 0.01,
                  alpha: float = 0.75, x_max: float = 10.0,
-                 batch_size: int = 4096):
+                 batch_size: int = 4096, update_mode: str = "auto"):
         self.num_components = int(num_components)
         self.learning_rate = float(learning_rate)
         self.alpha = float(alpha)
         self.x_max = float(x_max)
         self.batch_size = int(batch_size)
+        if update_mode not in ("auto", "dense", "sparse"):
+            raise ValueError("update_mode must be auto|dense|sparse")
+        self.update_mode = update_mode
         self.W = None
         self.bias = None
 
@@ -163,11 +170,14 @@ class GloVe:
         abc = jnp.ones_like(bc)  # accumulators init ones (optimizer.pyx:96-99)
         abx = jnp.ones_like(bx)
 
+        from .bpr import choose_update_mode
+        mode = choose_update_mode(self.update_mode, 2 * B,
+                                  Wc.shape[0] + Wx.shape[0])
         epoch_jit = jax.jit(
             functools.partial(_glove_epoch, optimizer=opt, x_max=self.x_max,
                               alpha=self.alpha,
                               learning_rate=self.learning_rate,
-                              num_components=K),
+                              num_components=K, update_mode=mode),
             donate_argnums=tuple(range(8)))
 
         loss = None

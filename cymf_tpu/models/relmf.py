@@ -37,7 +37,7 @@ from .base import MFTrainerBase, as_csr
 
 def _relmf_epoch(W, H, opt_w, opt_h, indptr, indices, data, props, key, *,
                  optimizer, weight_decay, clip_value, num_users, num_items,
-                 num_steps, batch_size):
+                 num_steps, batch_size, update_mode="dense"):
     wd = jnp.asarray(weight_decay, W.dtype)
     M = jnp.asarray(clip_value, W.dtype)
 
@@ -66,8 +66,12 @@ def _relmf_epoch(W, H, opt_w, opt_h, indptr, indices, data, props, key, *,
         loss = (w * jnp.square(1.0 - s[:, 0])
                 + (1.0 - w) * jnp.square(s[:, 0]) + wd * l2)
 
-        W, opt_w = optimizer.update_rows(W, opt_w, u, g_w)
-        H, opt_h = optimizer.update_rows(H, opt_h, i, g_h)
+        if update_mode == "dense":
+            W, opt_w = optimizer.update_dense(W, opt_w, [(u, g_w)])
+            H, opt_h = optimizer.update_dense(H, opt_h, [(i, g_h)])
+        else:
+            W, opt_w = optimizer.update_rows(W, opt_w, u, g_w)
+            H, opt_h = optimizer.update_rows(H, opt_h, i, g_h)
         return (W, H, opt_w, opt_h, loss_acc + jnp.sum(loss)), None
 
     init = (W, H, opt_w, opt_h, jnp.zeros((), W.dtype))
@@ -82,19 +86,24 @@ class RelMF(MFTrainerBase):
 
     def __init__(self, num_components: int = 20, clip_value: float = 0.1,
                  learning_rate: float = 0.001, optimizer: str = "adam",
-                 weight_decay: float = 0.01, batch_size: int = 8192):
+                 weight_decay: float = 0.01, batch_size: int = 8192,
+                 update_mode: str = "auto"):
         super().__init__(num_components)
         self.clip_value = float(clip_value)
         self.learning_rate = float(learning_rate)
         self.optimizer = optimizer
         self.weight_decay = float(weight_decay)
         self.batch_size = int(batch_size)
+        if update_mode not in ("auto", "dense", "sparse"):
+            raise ValueError("update_mode must be auto|dense|sparse")
+        self.update_mode = update_mode
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
 
     def fit(self, X, num_epochs: int = 10, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
-            verbose: bool = False, seed: int = 1234):
+            verbose: bool = False, seed: int = 1234, checkpoint_path=None,
+            checkpoint_every: int = 1, resume: bool = False):
         X = as_csr(X)
         self.valid_evaluator = valid_evaluator
         self.valid_dcg = -np.inf
@@ -122,15 +131,25 @@ class RelMF(MFTrainerBase):
         opt = make_optimizer(self.optimizer, self.learning_rate)
         self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
                        "oh": opt.init(Hd)}
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
 
         B = self.batch_size
         num_steps = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
+        from .bpr import choose_update_mode
+        mode = choose_update_mode(self.update_mode, 2 * B,
+                                  Wd.shape[0] + Hd.shape[0])
         epoch_jit = jax.jit(
             functools.partial(_relmf_epoch, optimizer=opt,
                               weight_decay=self.weight_decay,
                               clip_value=self.clip_value, num_users=U,
                               num_items=I, num_steps=num_steps,
-                              batch_size=B),
+                              batch_size=B, update_mode=mode),
             donate_argnums=(0, 1, 2, 3))
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
@@ -149,7 +168,9 @@ class RelMF(MFTrainerBase):
             self.W, self.H = np.array(snap[0]), np.array(snap[1])
 
         self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
-                         verbose, ncols=100)
+                         verbose, ncols=100, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
         if self._last_loss_dev is not None:
             self.last_loss = float(jax.device_get(self._last_loss_dev))
         self._finalize_fit()

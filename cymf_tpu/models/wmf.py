@@ -49,7 +49,8 @@ class WMF(MFTrainerBase):
 
     def fit(self, X, num_epochs: int = 5, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
-            verbose: bool = True):
+            verbose: bool = True, checkpoint_path=None,
+            checkpoint_every: int = 1, resume: bool = False):
         X = as_csr(X)
         self.valid_evaluator = valid_evaluator
         self.valid_dcg = -np.inf
@@ -65,6 +66,13 @@ class WMF(MFTrainerBase):
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
         self._state = {"W": Wd, "H": Hd}
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
 
         Xt = X.T.tocsr()
         Xt.sort_indices()
@@ -99,7 +107,9 @@ class WMF(MFTrainerBase):
             self.W, self.H = np.array(snap[0]), np.array(snap[1])
 
         self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
-                         verbose, ncols=100)
+                         verbose, ncols=100, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
         self._finalize_fit()
 
     def _device_chunks(self, chunks: List[AlsChunk]) -> List[AlsChunk]:
