@@ -1,0 +1,225 @@
+"""Pallas TPU engine: VMEM-resident sequential SGD for small-catalog tables.
+
+This is the Pallas "segment-gather -> pairwise-score -> scatter-update"
+kernel of the north star, specialized to the regime where both embedding
+tables (plus optimizer state) fit in VMEM (~16 MB/core): the whole epoch runs
+as ONE kernel, tables never leave the chip, and every sample applies its
+update **sequentially, per-sample** — replaying the reference's
+single-threaded update schedule (`model.pyx:47-87` + `optimizer.pyx`)
+exactly, stronger than the synchronous-minibatch XLA path's statistical
+equivalence.
+
+Mechanics:
+
+* parameters and optimizer state are *fused per row*: a table row is
+  ``[param(128 lanes) | moment1(128) | moment2(128)]`` so one dynamic
+  sublane read + one write covers the whole Adam update of a row (6x fewer
+  dynamic slices than separate state tables — the dominant per-sample cost);
+* tables live in VMEM for the entire grid (full-array block specs +
+  ``input_output_aliases``; the sequential TPU grid makes in-place mutation
+  race-free);
+* per-step index chunks (user, positive, host-pregenerated negative,
+  rejection mask) stream through SMEM blocks so scalar indices are readable
+  inside the per-sample ``fori_loop``;
+* the loss accumulates in SMEM across the grid.
+
+Applicability: ``fits_vmem`` gates on the packed physical footprint.
+ml-100k (d<=128, Adam: ~4 MB) and similar catalogs qualify; ML-20M-scale
+tables do not — the XLA batch path covers those.
+
+Negatives are pregenerated on the host with rejection against the positive
+set (vectorized ``searchsorted`` over (u*I+j) keys), exactly the reference's
+skip semantics (`bpr.pyx:165-167`) expressed as a mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+LANES = 128
+_N_STATE = {"sgd": 0, "adagrad": 1, "adam": 2}
+
+
+def fits_vmem(num_rows_total: int, optimizer: str) -> bool:
+    """Packed physical VMEM footprint of tables + fused optimizer state."""
+    width = LANES * (1 + _N_STATE[optimizer])
+    return num_rows_total * width * 4 <= VMEM_BUDGET_BYTES
+
+
+def pack_table(T: np.ndarray, optimizer: str) -> jnp.ndarray:
+    """[rows, K] params -> [rows, (1+n_state)*128] fused rows.
+
+    Param lanes beyond K are zero; AdaGrad accumulator lanes start at ONE
+    (`optimizer.pyx:69-70` — and ones in the unused lanes keep the rsqrt
+    well-defined), Adam moments start at zero.
+    """
+    rows, K = T.shape
+    if K > LANES:
+        raise ValueError(f"pallas engine supports K <= {LANES}, got {K}")
+    n_state = _N_STATE[optimizer]
+    out = np.zeros((rows, LANES * (1 + n_state)), np.float32)
+    out[:, :K] = T
+    if optimizer == "adagrad":
+        out[:, LANES:2 * LANES] = 1.0
+    return jnp.asarray(out)
+
+
+def unpack_table(P, K: int) -> jnp.ndarray:
+    """Fused rows -> [rows, K] params."""
+    return P[:, :K]
+
+
+def generate_epoch_negatives(rng: np.random.Generator, users: np.ndarray,
+                             num_items: int, pos_keys_sorted: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """(negatives, keep_mask) for one epoch, host-side.
+
+    One uniform draw per interaction; draws that hit a known positive are
+    *masked out* (the reference skips them, `bpr.pyx:166-167`).
+    ``pos_keys_sorted`` is the sorted array of ``u * num_items + i`` keys.
+    """
+    j = rng.integers(0, num_items, size=len(users)).astype(np.int32)
+    keys = users.astype(np.int64) * num_items + j
+    pos = np.searchsorted(pos_keys_sorted, keys)
+    pos = np.minimum(pos, max(len(pos_keys_sorted) - 1, 0))
+    if len(pos_keys_sorted):
+        collide = pos_keys_sorted[pos] == keys
+    else:
+        collide = np.zeros(len(users), bool)
+    return j, ~collide
+
+
+def _make_kernel(optimizer: str, lr: float, wd: float, beta1: float,
+                 beta2: float, eps: float, chunk: int, group: int):
+    """``group`` samples are processed per loop iteration, vectorized on the
+    VPU.  group=1 replays the reference's update schedule exactly;
+    group=G>1 is the analogue of G Hogwild threads (`bpr.pyx:162`): samples
+    within a group read the same table snapshot, and if two touch the same
+    row the later write wins — the same benign lost-update race the
+    reference accepts across its OpenMP threads."""
+    n_state = _N_STATE[optimizer]
+
+    def split_rows(rows):
+        param = rows[:, :LANES]
+        state = [rows[:, LANES * (s + 1):LANES * (s + 2)]
+                 for s in range(n_state)]
+        return param, state
+
+    def updated_rows(param, state, g):
+        """One optimizer step on fused rows [G, width]."""
+        if optimizer == "adam":
+            m, v = state
+            m2 = beta1 * m + (1 - beta1) * g
+            v2 = beta2 * v + (1 - beta2) * g * g
+            p2 = param - lr * (m2 / (1 - beta1)) / (
+                jnp.sqrt(v2 / (1 - beta2)) + eps)
+            return jnp.concatenate([p2, m2, v2], axis=1)
+        if optimizer == "adagrad":
+            (a,) = state
+            a2 = a + g * g
+            p2 = param - lr * g * jax.lax.rsqrt(a2)
+            return jnp.concatenate([p2, a2], axis=1)
+        return param - lr * g
+
+    def kernel(u_ref, i_ref, j_ref, m_ref, W_in, H_in, W, H, loss_ref):
+        del W_in, H_in  # aliased with W, H
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+
+        def body(gi, acc):
+            base = gi * group
+            us = [u_ref[0, 0, base + t] for t in range(group)]
+            is_ = [i_ref[0, 0, base + t] for t in range(group)]
+            js = [j_ref[0, 0, base + t] for t in range(group)]
+            keeps = [m_ref[0, 0, base + t] != 0 for t in range(group)]
+
+            rows_u = jnp.concatenate(
+                [W[pl.ds(us[t], 1), :] for t in range(group)], axis=0)
+            rows_i = jnp.concatenate(
+                [H[pl.ds(is_[t], 1), :] for t in range(group)], axis=0)
+            rows_j = jnp.concatenate(
+                [H[pl.ds(js[t], 1), :] for t in range(group)], axis=0)
+            wu, st_u = split_rows(rows_u)
+            hi, st_i = split_rows(rows_i)
+            hj, st_j = split_rows(rows_j)
+            diff = hi - hj
+            x = jnp.sum(wu * diff, axis=1, keepdims=True)      # [G, 1]
+            sig = 1.0 / (1.0 + jnp.exp(x))  # sigma(-x), model.pyx:78
+            g_wu = -(sig * diff - wd * wu)
+            g_hi = -(sig * wu - wd * hi)
+            g_hj = -(-sig * wu - wd * hj)
+            new_u = updated_rows(wu, st_u, g_wu)
+            new_i = updated_rows(hi, st_i, g_hi)
+            new_j = updated_rows(hj, st_j, g_hj)
+
+            for t in range(group):
+                # note: i != j whenever keep (j is not a positive of u)
+                @pl.when(keeps[t])
+                def _(t=t):
+                    W[pl.ds(us[t], 1), :] = new_u[t:t + 1]
+                    H[pl.ds(is_[t], 1), :] = new_i[t:t + 1]
+                    H[pl.ds(js[t], 1), :] = new_j[t:t + 1]
+
+            l2 = (jnp.sum(wu * wu, axis=1, keepdims=True)
+                  + jnp.sum(hi * hi, axis=1, keepdims=True)
+                  + jnp.sum(hj * hj, axis=1, keepdims=True))
+            softplus = jnp.maximum(-x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+            mf = jnp.concatenate(
+                [jnp.where(keeps[t], 1.0, 0.0).reshape(1, 1)
+                 for t in range(group)], axis=0)
+            return acc + jnp.sum(mf * (softplus + wd * l2))
+
+        loss_ref[0, 0] += jax.lax.fori_loop(0, chunk // group, body, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("optimizer", "lr", "wd", "beta1", "beta2", "eps",
+                     "interpret", "group"))
+def bpr_pallas_epoch(W_packed, H_packed, u, i, j, mask, *, optimizer: str,
+                     lr: float, wd: float, beta1: float = 0.9,
+                     beta2: float = 0.999, eps: float = 1e-8,
+                     interpret: bool = False, group: int = 1):
+    """Run one epoch of sequential BPR updates on fused tables.
+
+    Args:
+      W_packed/H_packed: fused [rows, (1+n_state)*128] tables (pack_table).
+      u, i, j, mask: int32[S, 1, CHUNK] index streams (mask nonzero = keep).
+      group: samples per vectorized inner iteration (must divide CHUNK);
+        1 = exact sequential reference schedule, 8 = the 8-thread Hogwild
+        analogue (same benign intra-group races).
+
+    Returns (W_packed, H_packed, total_loss).
+    """
+    S, _, chunk = u.shape
+    if chunk % group:
+        raise ValueError(f"group {group} must divide chunk {chunk}")
+    kernel = _make_kernel(optimizer, lr, wd, beta1, beta2, eps, chunk, group)
+    smem_spec = pl.BlockSpec((1, 1, chunk), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM)
+    Wo, Ho, loss = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=[jax.ShapeDtypeStruct(W_packed.shape, W_packed.dtype),
+                   jax.ShapeDtypeStruct(H_packed.shape, H_packed.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        in_specs=[smem_spec] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(u, i, j, mask, W_packed, H_packed)
+    return Wo, Ho, loss[0, 0]

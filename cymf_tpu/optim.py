@@ -61,14 +61,20 @@ class SparseOptimizer:
 
     @staticmethod
     def _accumulate(table, pairs, with_mask: bool):
-        gbuf = jnp.zeros_like(table)
-        for rows, grads in pairs:
-            gbuf = gbuf.at[rows].add(grads)
+        if len(pairs) == 1:
+            rows, grads = pairs[0]
+        else:  # one fused scatter beats several smaller ones
+            rows = jnp.concatenate([r for r, _ in pairs])
+            grads = jnp.concatenate([g for _, g in pairs])
+        gbuf = jnp.zeros_like(table).at[rows].add(grads)
         if not with_mask:
             return gbuf, None
-        touched = jnp.zeros((table.shape[0], 1), dtype=bool)
-        for rows, _ in pairs:
-            touched = touched.at[rows].set(True)
+        # Rows whose accumulated gradient is exactly zero are either
+        # untouched or touched only by masked-out (collision/padding)
+        # samples; the reference skips those entirely (bpr.pyx:166-167), so
+        # excluding them from the moment update is the faithful behaviour —
+        # and it avoids a second scatter for the mask.
+        touched = jnp.any(gbuf != 0, axis=-1, keepdims=True)
         return gbuf, touched
 
 
