@@ -116,9 +116,12 @@ class GloVe:
         self.bias = None
 
     def fit(self, X, num_epochs: int, num_threads: int = 1,
-            verbose: bool = False):
+            verbose: bool = False, checkpoint_path=None,
+            checkpoint_every: int = 1, resume: bool = False):
         """Train on a sparse co-occurrence matrix (`glove.pyx:75-112`).
-        ``num_threads`` accepted for API compatibility; ignored."""
+        ``num_threads`` accepted for API compatibility; ignored.
+        ``checkpoint_path`` persists all four tables + AdaGrad accumulators
+        per ``checkpoint_every`` epochs; ``resume=True`` continues."""
         if X is None:
             raise ValueError()
         if not sparse.issparse(X):
@@ -180,10 +183,22 @@ class GloVe:
                               num_components=K, update_mode=mode),
             donate_argnums=tuple(range(8)))
 
+        state = {"Wc": Wc, "Wx": Wx, "bc": bc, "bx": bx, "ow": ow,
+                 "oh": oh, "abc": abc, "abx": abx}
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            state, last_epoch, _ = load_checkpoint(checkpoint_path, state)
+            Wc, Wx, bc, bx = state["Wc"], state["Wx"], state["bc"], state["bx"]
+            ow, oh, abc, abx = (state["ow"], state["oh"], state["abc"],
+                                state["abx"])
+            start_epoch = last_epoch + 1
+
         loss = None
         with tqdm(total=num_epochs, leave=True, ncols=100,
-                  disable=not verbose) as progress:
-            for it in range(num_epochs):
+                  initial=start_epoch, disable=not verbose) as progress:
+            for it in range(start_epoch, num_epochs):
                 Wc, Wx, bc, bx, ow, oh, abc, abx, loss = epoch_jit(
                     Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
                     n_counts, jnp.asarray(N, jnp.int32))
@@ -191,6 +206,11 @@ class GloVe:
                     f"ITER={it + 1:{len(str(num_epochs))}}, "
                     f"LOSS: {float(jax.device_get(loss)):.4f}")
                 progress.update(1)
+                if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                    from ..utils.checkpoint import save_checkpoint
+                    state = {"Wc": Wc, "Wx": Wx, "bc": bc, "bx": bx,
+                             "ow": ow, "oh": oh, "abc": abc, "abx": abx}
+                    save_checkpoint(checkpoint_path, state, it)
 
         self.last_loss = float(jax.device_get(loss)) if loss is not None \
             else None

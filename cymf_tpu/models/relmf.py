@@ -30,14 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from ..ops.hashset import build_pair_hashset, hashset_contains
 from ..ops.segment import csr_lookup
 from ..optim import make_optimizer
 from .base import MFTrainerBase, as_csr
 
 
-def _relmf_epoch(W, H, opt_w, opt_h, indptr, indices, data, props, key, *,
+def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
                  optimizer, weight_decay, clip_value, num_users, num_items,
-                 num_steps, batch_size, update_mode="dense"):
+                 num_steps, batch_size, update_mode="dense",
+                 binary_labels=False):
     wd = jnp.asarray(weight_decay, W.dtype)
     M = jnp.asarray(clip_value, W.dtype)
 
@@ -49,7 +51,14 @@ def _relmf_epoch(W, H, opt_w, opt_h, indptr, indices, data, props, key, *,
                                dtype=config.index_dtype)
         i = jax.random.randint(ki, (batch_size,), 0, num_items,
                                dtype=config.index_dtype)
-        _, r = csr_lookup(indptr, indices, data, u, i)
+        if binary_labels:
+            # binarized matrices (the standard pipeline): the label is pure
+            # membership -> 2-gather hash-set probe instead of a 32-round
+            # CSR binary search (the RelMF hot-path bottleneck)
+            r = hashset_contains(label_src, u, i).astype(W.dtype)
+        else:
+            indptr, indices, data = label_src
+            _, r = csr_lookup(indptr, indices, data, u, i)
         p = props[i]
         w = r / jnp.maximum(p, M)
 
@@ -121,9 +130,16 @@ class RelMF(MFTrainerBase):
 
         mesh = self.mesh
         put = mesh.put_replicated
-        indptr = put(jnp.asarray(X.indptr.astype(np.int32)))
-        indices = put(jnp.asarray(X.indices.astype(np.int32)))
-        data = put(jnp.asarray(X.data, dtype=config.param_dtype()))
+        binary = bool(X.nnz == 0 or np.all(X.data == 1.0))
+        if binary:
+            coo = X.tocoo()
+            label_src = jax.tree_util.tree_map(
+                put, build_pair_hashset(coo.row, coo.col))
+        else:
+            label_src = (put(jnp.asarray(X.indptr.astype(np.int32))),
+                         put(jnp.asarray(X.indices.astype(np.int32))),
+                         put(jnp.asarray(X.data,
+                                         dtype=config.param_dtype())))
         props_d = put(jnp.asarray(props, dtype=config.param_dtype()))
 
         Wd = self._pad_table(self.W)
@@ -149,7 +165,8 @@ class RelMF(MFTrainerBase):
                               weight_decay=self.weight_decay,
                               clip_value=self.clip_value, num_users=U,
                               num_items=I, num_steps=num_steps,
-                              batch_size=B, update_mode=mode),
+                              batch_size=B, update_mode=mode,
+                              binary_labels=binary),
             donate_argnums=(0, 1, 2, 3))
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
@@ -157,9 +174,8 @@ class RelMF(MFTrainerBase):
         def epoch_fn(epoch):
             st = self._state
             st["W"], st["H"], st["ow"], st["oh"], self._last_loss_dev = \
-                epoch_jit(st["W"], st["H"], st["ow"], st["oh"], indptr,
-                          indices, data, props_d,
-                          jax.random.fold_in(base_key, epoch))
+                epoch_jit(st["W"], st["H"], st["ow"], st["oh"], label_src,
+                          props_d, jax.random.fold_in(base_key, epoch))
 
         def snapshot_fn():
             return (self.W, self.H)

@@ -124,3 +124,22 @@ def test_native_cooccurrence_matches_python(tmp_path):
     order = np.argsort(kn)
     np.testing.assert_array_equal(kp, kn[order])
     np.testing.assert_allclose(vp, vn[order], rtol=1e-12)
+
+
+def test_glove_checkpoint_resume(tmp_path):
+    X = _toy_cooc(V=12, seed=5)
+    p = str(tmp_path / "g.npz")
+    np.random.seed(9)
+    m1 = GloVe(num_components=4, batch_size=32)
+    m1.fit(X, num_epochs=6)
+
+    np.random.seed(9)
+    m2 = GloVe(num_components=4, batch_size=32)
+    m2.fit(X, num_epochs=3, checkpoint_path=p)
+    np.random.seed(9)
+    m3 = GloVe(num_components=4, batch_size=32)
+    m3.fit(X, num_epochs=6, checkpoint_path=p, resume=True)
+    # shuffle order differs between m1 (one shuffle draw after seed) and
+    # m3 (fresh shuffle) — wait: both seed np with 9 then init draws then
+    # shuffle; identical streams, so full parity is expected
+    np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-6)
