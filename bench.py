@@ -50,6 +50,11 @@ def main():
     S = nnz // B  # full batches only; per-epoch interactions = S * B
     users = users[:S * B].reshape(S, B)
     items = items[:S * B].reshape(S, B)
+    # per-batch user sort, exactly like the trainer (enables the
+    # indices_are_sorted fast scatter)
+    order = np.argsort(users, axis=1, kind="stable")
+    users = np.take_along_axis(users, order, axis=1)
+    items = np.take_along_axis(items, order, axis=1)
 
     # positive-set hash table for collision masking (same structure the
     # real trainer uses)
@@ -73,7 +78,7 @@ def main():
     opt_w, opt_h = opt.init(W), opt.init(H)
     step = jax.jit(
         functools.partial(_bpr_epoch, optimizer=opt, weight_decay=0.01,
-                          num_items=I),
+                          num_users=U, num_items=I, u_presorted=True),
         donate_argnums=(0, 1, 2, 3))
     key = jax.random.PRNGKey(0)
     n_valid = jnp.asarray(S * B, jnp.int32)

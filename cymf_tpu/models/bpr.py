@@ -41,6 +41,9 @@ from ..optim import make_optimizer
 from .base import MFTrainerBase, as_csr
 
 
+PAD_USER = np.int32(2**31 - 1)  # padding sentinel: sorts last, OOB-dropped
+
+
 def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
     """'auto' resolves to dense when the batch covers enough of the table
     that a full-table pass is cheaper than sorted row-scatters."""
@@ -50,7 +53,8 @@ def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
 
 
 def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
-               optimizer, weight_decay, num_items, update_mode="dense"):
+               optimizer, weight_decay, num_users, num_items,
+               update_mode="dense", u_presorted=False):
     """One epoch: scan over minibatch steps. Returns new state + mean loss.
 
     ``update_mode``:
@@ -71,7 +75,9 @@ def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
         u, i, sidx = xs
         skey = jax.random.fold_in(key, sidx)
         j = jax.random.randint(skey, (B,), 0, num_items, dtype=u.dtype)
-        in_data = (sidx * B + jnp.arange(B)) < n_valid
+        # padding samples carry the PAD_USER sentinel (sorts last, survives
+        # the in-batch user sort; OOB scatters are dropped by XLA)
+        in_data = u < num_users
         collide = hashset_contains(hs, u, j)
         mask = in_data & ~collide
         mf = mask.astype(W.dtype)[:, None]
@@ -89,7 +95,10 @@ def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
         loss = (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf[:, 0]
 
         if update_mode == "dense":
-            W, opt_w = optimizer.update_dense(W, opt_w, [(u, g_wu)])
+            # u_presorted: the trainer sorts each batch by user on the host
+            # (order within a synchronous batch is semantically irrelevant)
+            W, opt_w = optimizer.update_dense(W, opt_w, [(u, g_wu)],
+                                              rows_sorted=u_presorted)
             H, opt_h = optimizer.update_dense(
                 H, opt_h, [(i, g_hi), (j, g_hj)])
         else:
@@ -175,12 +184,20 @@ class BPR(MFTrainerBase):
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:
-            users = np.concatenate([users, np.zeros(pad, np.int32)])
+            users = np.concatenate(
+                [users, np.full(pad, PAD_USER, np.int32)])
             positives = np.concatenate([positives, np.zeros(pad, np.int32)])
 
         mesh = self.mesh
-        u_steps = jax.device_put(users.reshape(S, B), mesh.batch2d())
-        i_steps = jax.device_put(positives.reshape(S, B), mesh.batch2d())
+        # sort each batch by user: enables indices_are_sorted on the W
+        # scatter (~20% cheaper) without changing synchronous semantics
+        u2 = users.reshape(S, B)
+        i2 = positives.reshape(S, B)
+        order = np.argsort(u2, axis=1, kind="stable")
+        u2 = np.take_along_axis(u2, order, axis=1)
+        i2 = np.take_along_axis(i2, order, axis=1)
+        u_steps = jax.device_put(u2, mesh.batch2d())
+        i_steps = jax.device_put(i2, mesh.batch2d())
         coo = X.tocoo()
         hs = build_pair_hashset(coo.row, coo.col)
         hs = jax.tree_util.tree_map(mesh.put_replicated, hs)
@@ -195,8 +212,9 @@ class BPR(MFTrainerBase):
                                   Wd.shape[0] + Hd.shape[0])
         epoch_jit = jax.jit(
             functools.partial(_bpr_epoch, optimizer=opt,
-                              weight_decay=self.weight_decay, num_items=I,
-                              update_mode=mode),
+                              weight_decay=self.weight_decay, num_users=U,
+                              num_items=I, update_mode=mode,
+                              u_presorted=True),
             donate_argnums=(0, 1, 2, 3))
         base_key = jax.random.PRNGKey(seed)
         self._state = {"W": Wd, "H": Hd, "ow": opt_w, "oh": opt_h}

@@ -54,29 +54,51 @@ class AlsChunk(NamedTuple):
     weights: np.ndarray   # float32[C, P] per-entry confidence weights (X data)
 
 
-def build_chunks(X: sparse.csr_matrix, chunk_size: int,
-                 drop_sentinel: int) -> List[AlsChunk]:
+def build_chunks(X: sparse.csr_matrix, chunk_size: int, drop_sentinel: int,
+                 max_elems: int = 1 << 25) -> List[AlsChunk]:
     """Degree-bucketed chunking of CSR rows.
 
-    Rows are sorted by degree ascending; each chunk of ``chunk_size`` rows is
-    padded to the next power of two >= its max degree.  Partial chunks are
-    padded with sentinel rows (dropped at scatter time).
+    Rows are sorted by degree ascending; each chunk is padded to the next
+    power of two >= its max degree.  The number of rows per chunk shrinks
+    for high-degree buckets so the padded gather stays under ``max_elems``
+    index entries (prevents (rows x 64k-degree) blowups on ML-20M-scale
+    popular items).  Partial chunks are padded with sentinel rows (dropped
+    at scatter time).
     """
     n = X.shape[0]
     deg = np.diff(X.indptr)
     order = np.argsort(deg, kind="stable").astype(np.int64)
     chunks: List[AlsChunk] = []
-    for start in range(0, n, chunk_size):
-        sel = order[start:start + chunk_size]
+    start = 0
+    while start < n:
+        # pad length for this chunk is set by its max (=last taken) degree;
+        # scan forward while the (rows x pad) footprint stays in budget
+        take = 1
+        while take < chunk_size and start + take < n:
+            pmax = int(deg[order[start + take]])
+            P = 1
+            while P < max(pmax, 1):
+                P *= 2
+            if (take + 1) * P > max_elems:
+                break
+            take += 1
+        # round rows-per-chunk down to a power of two so the number of
+        # distinct (rows, pad) shapes — and thus compiles — stays small
+        p2 = 1
+        while p2 * 2 <= take:
+            p2 *= 2
+        take = p2
+        sel = order[start:start + take]
+        start += take
         c = len(sel)
         pmax = int(deg[sel].max()) if c else 0
         P = 1
         while P < max(pmax, 1):
             P *= 2
-        idx_pad = np.zeros((chunk_size, P), dtype=np.int32)
-        valid = np.zeros((chunk_size, P), dtype=bool)
-        weights = np.zeros((chunk_size, P), dtype=np.float32)
-        rows = np.full(chunk_size, drop_sentinel, dtype=np.int32)
+        idx_pad = np.zeros((c, P), dtype=np.int32)
+        valid = np.zeros((c, P), dtype=bool)
+        weights = np.zeros((c, P), dtype=np.float32)
+        rows = np.full(c, drop_sentinel, dtype=np.int32)
         rows[:c] = sel
         for k, r in enumerate(sel):
             lo, hi = X.indptr[r], X.indptr[r + 1]
