@@ -181,12 +181,17 @@ class MFTrainerBase:
         every ``checkpoint_every`` epochs (atomic npz; see
         ``cymf_tpu.utils.checkpoint``) so a killed run can resume.
         """
+        from ..utils.profiling import Throughput
         stopper = EarlyStopper(self.early_stopping)
         valid_dcg = None
+        thr = Throughput()
+        samples_per_epoch = getattr(self, "_samples_per_epoch", 0)
+        thr.tick(0)
         with tqdm(total=num_epochs, leave=True, ncols=ncols,
                   initial=start_epoch, disable=not verbose) as progress:
             for epoch in range(start_epoch, num_epochs):
                 epoch_fn(epoch)
+                thr.tick(samples_per_epoch)
                 if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
                     from ..utils.checkpoint import save_checkpoint
                     save_checkpoint(checkpoint_path, self._state, epoch)
@@ -196,10 +201,13 @@ class MFTrainerBase:
                     if stopper.update(valid_dcg, snapshot_fn):
                         break
                     self.valid_dcg = stopper.best_dcg
+                rate = (f", {thr.format()}" if samples_per_epoch
+                        and thr.rate else "")
                 progress.set_description(
                     f"EPOCH={epoch + 1:{len(str(num_epochs))}}"
                     + (f", DCG@5={np.round(valid_dcg, 3)}"
                        if self.valid_evaluator else "")
+                    + rate
                     + (desc_extra_fn() if desc_extra_fn else ""))
                 progress.update(1)
         if self.valid_evaluator and self.early_stopping \

@@ -175,6 +175,7 @@ class BPR(MFTrainerBase):
         users, positives = sk_utils.shuffle(*(X.nonzero()))
         users = users.astype(np.int32)
         positives = positives.astype(np.int32)
+        self._samples_per_epoch = len(users)
         if self.engine == "pallas":
             return self._fit_pallas(X, users, positives, num_epochs, verbose,
                                     seed)

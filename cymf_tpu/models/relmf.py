@@ -157,6 +157,7 @@ class RelMF(MFTrainerBase):
 
         B = self.batch_size
         num_steps = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
+        self._samples_per_epoch = num_steps * B
         from .bpr import choose_update_mode
         mode = choose_update_mode(self.update_mode, 2 * B,
                                   Wd.shape[0] + Hd.shape[0])

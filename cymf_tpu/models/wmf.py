@@ -80,6 +80,7 @@ class WMF(MFTrainerBase):
             build_chunks(X, self.chunk_size, Wd.shape[0]))
         item_chunks = self._device_chunks(
             build_chunks(Xt, self.chunk_size, Hd.shape[0]))
+        self._samples_per_epoch = X.nnz
         eye = jnp.eye(self.num_components, dtype=config.param_dtype())
         wd = self.weight_decay
         weight = jnp.asarray(self.weight, config.param_dtype())
