@@ -44,10 +44,11 @@ from ..optim import AdaGrad
 from ..parallel.mesh import current_mesh
 
 
-def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int):
+def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int,
+                       presorted: bool = False):
     """K consecutive AdaGrad steps with a constant gradient, closed form."""
     drop = bias.shape[0]
-    rows, g = dedup_rows(rows, grads, drop)
+    rows, g = dedup_rows(rows, grads, drop, presorted=presorted)
     crows = jnp.clip(rows, 0, drop - 1)
     a0 = accum[crows]
     t = jnp.arange(1, k_steps + 1, dtype=bias.dtype)
@@ -61,14 +62,17 @@ def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int):
 
 def _glove_epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
                  n_steps_counts, n_valid, *, optimizer, x_max, alpha,
-                 learning_rate, num_components, update_mode="dense"):
+                 learning_rate, num_components, num_central,
+                 update_mode="dense"):
     S, B = c_steps.shape
     lr = learning_rate
 
     def step(carry, xs):
         Wc, Wx, bc, bx, ow, oh, abc, abx, loss_acc = carry
         c, x, cnt, sidx = xs
-        in_data = (sidx * B + jnp.arange(B)) < n_valid
+        # padding triples carry an out-of-range central id (sorts last,
+        # OOB scatters dropped) - see the sentinel note in models/bpr.py
+        in_data = c < num_central
         mf = in_data.astype(Wc.dtype)
 
         wc, hx = Wc[c], Wx[x]
@@ -79,13 +83,15 @@ def _glove_epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
         fd = (f * diff * mf)[:, None]
 
         if update_mode == "dense":
-            Wc, ow = optimizer.update_dense(Wc, ow, [(c, fd * hx)])
+            # batches are host-presorted by central word
+            Wc, ow = optimizer.update_dense(Wc, ow, [(c, fd * hx)],
+                                            rows_sorted=True)
             Wx, oh = optimizer.update_dense(Wx, oh, [(x, fd * wc)])
         else:
             Wc, ow = optimizer.update_rows(Wc, ow, c, fd * hx)
             Wx, oh = optimizer.update_rows(Wx, oh, x, fd * wc)
         bc, abc = _bias_kfold_update(bc, abc, c, fd[:, 0], lr,
-                                     num_components)
+                                     num_components, presorted=True)
         bx, abx = _bias_kfold_update(bx, abx, x, fd[:, 0], lr,
                                      num_components)
         return (Wc, Wx, bc, bx, ow, oh, abc, abx,
@@ -146,9 +152,20 @@ class GloVe:
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:
-            central = np.concatenate([central, np.zeros(pad, np.int32)])
+            central = np.concatenate(
+                [central, np.full(pad, np.int32(2**31 - 1))])
             context = np.concatenate([context, np.zeros(pad, np.int32)])
             counts = np.concatenate([counts, np.ones(pad)])
+        # per-batch sort by central word (sorted-scatter fast path; order
+        # within a synchronous batch is semantically irrelevant; padding
+        # sentinels sort last and are masked by the in-data check)
+        c2 = central.reshape(S, B)
+        x2 = context.reshape(S, B)
+        n2 = counts.reshape(S, B)
+        order = np.argsort(c2, axis=1, kind="stable")
+        central = np.take_along_axis(c2, order, axis=1).reshape(-1)
+        context = np.take_along_axis(x2, order, axis=1).reshape(-1)
+        counts = np.take_along_axis(n2, order, axis=1).reshape(-1)
 
         dtype = config.param_dtype()
 
@@ -180,7 +197,8 @@ class GloVe:
             functools.partial(_glove_epoch, optimizer=opt, x_max=self.x_max,
                               alpha=self.alpha,
                               learning_rate=self.learning_rate,
-                              num_components=K, update_mode=mode),
+                              num_components=K, num_central=V1,
+                              update_mode=mode),
             donate_argnums=tuple(range(8)))
 
         state = {"Wc": Wc, "Wx": Wx, "bc": bc, "bx": bx, "ow": ow,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 _BSEARCH_ITERS = 32
 
 
-def dedup_rows(rows: jax.Array, grads: jax.Array, drop_index: int):
+def dedup_rows(rows: jax.Array, grads: jax.Array, drop_index: int,
+               presorted: bool = False):
     """Combine duplicate row indices by summing their gradients.
 
     Args:
@@ -47,9 +48,12 @@ def dedup_rows(rows: jax.Array, grads: jax.Array, drop_index: int):
     is what every scatter-add based framework does.
     """
     b = rows.shape[0]
-    order = jnp.argsort(rows)  # stable
-    srows = rows[order]
-    sgrads = grads[order]
+    if presorted:
+        srows, sgrads = rows, grads
+    else:
+        order = jnp.argsort(rows)  # stable
+        srows = rows[order]
+        sgrads = grads[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), srows[1:] != srows[:-1]])
     seg_id = jnp.cumsum(is_start) - 1
