@@ -213,3 +213,42 @@ class MFTrainerBase:
         if self.valid_evaluator and self.early_stopping \
                 and stopper.best_snapshot is not None:
             restore_fn(stopper.best_snapshot)
+
+
+def _model_to_arrays(model) -> dict:
+    arrays = {"W": model.W, "H": model.H,
+              "num_components": np.asarray(model.num_components)}
+    for name in ("learning_rate", "weight_decay", "weight", "clip_value",
+                 "lam_y"):
+        if hasattr(model, name):
+            arrays[f"hyper_{name}"] = np.asarray(getattr(model, name))
+    return arrays
+
+
+class PersistenceMixin:
+    """``model.save(path)`` / ``Model.load(path)``: persist learned factors
+    + hyperparameters as a single npz (the reference has no persistence
+    beyond GloVe's text export — SURVEY.md §5)."""
+
+    def save(self, path: str) -> None:
+        if self.W is None or self.H is None:
+            raise ValueError("model has no learned factors to save")
+        d = _model_to_arrays(self)
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        np.savez(path, **d)
+
+    @classmethod
+    def load(cls, path: str):
+        with np.load(path) as z:
+            kwargs = {"num_components": int(z["num_components"])}
+            for k in z.files:
+                if k.startswith("hyper_"):
+                    kwargs[k[len("hyper_"):]] = float(z[k])
+            model = cls(**kwargs)
+            model.W = z["W"]
+            model.H = z["H"]
+            model._num_users = z["W"].shape[0]
+            model._num_items = z["H"].shape[0]
+        return model

@@ -38,7 +38,7 @@ from sklearn import utils as sk_utils
 from .. import config
 from ..ops.hashset import build_pair_hashset, hashset_contains
 from ..optim import make_optimizer
-from .base import MFTrainerBase, as_csr
+from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
 PAD_USER = np.int32(2**31 - 1)  # padding sentinel: sorts last, OOB-dropped
@@ -114,7 +114,7 @@ def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
     return W, H, opt_w, opt_h, loss / jnp.maximum(n_valid, 1).astype(W.dtype)
 
 
-class BPR(MFTrainerBase):
+class BPR(MFTrainerBase, PersistenceMixin):
     """API-compatible rebuild of ``cymf.BPR`` (`bpr.pyx:37-68`)."""
 
     def __init__(self, num_components: int = 20, learning_rate: float = 0.001,

@@ -40,7 +40,7 @@ import numpy as np
 
 from .. import config
 from ..ops.als import AlsChunk, build_chunks, solve_spd, solve_lu
-from .base import MFTrainerBase, as_csr
+from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 _SOLVERS = {"cholesky": solve_spd, "lu": solve_lu}
 
@@ -91,7 +91,7 @@ def _expomf_chunk(E_src, E_other, Y, mu_term, rows, idx_pad, valid,
     return jnp.where(nonempty, x, 0.0), e_colsum
 
 
-class ExpoMF(MFTrainerBase):
+class ExpoMF(MFTrainerBase, PersistenceMixin):
     """API-compatible rebuild of ``cymf.ExpoMF`` (`expomf.pyx:40-64`)."""
 
     def __init__(self, num_components: int = 20, lam_y: float = 1.0,

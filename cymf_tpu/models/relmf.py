@@ -33,7 +33,7 @@ from .. import config
 from ..ops.hashset import build_pair_hashset, hashset_contains
 from ..ops.segment import csr_lookup
 from ..optim import make_optimizer
-from .base import MFTrainerBase, as_csr
+from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
 def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
@@ -90,7 +90,7 @@ def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
     return W, H, opt_w, opt_h, loss / total
 
 
-class RelMF(MFTrainerBase):
+class RelMF(MFTrainerBase, PersistenceMixin):
     """API-compatible rebuild of ``cymf.RelMF`` (`relmf.pyx:37-67`)."""
 
     def __init__(self, num_components: int = 20, clip_value: float = 0.1,

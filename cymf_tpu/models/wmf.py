@@ -30,10 +30,10 @@ from scipy import sparse
 
 from .. import config
 from ..ops.als import AlsChunk, build_chunks, wmf_chunk_solve
-from .base import MFTrainerBase, as_csr
+from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
-class WMF(MFTrainerBase):
+class WMF(MFTrainerBase, PersistenceMixin):
     """API-compatible rebuild of ``cymf.WMF`` (`wmf.pyx:32-59`)."""
 
     def __init__(self, num_components: int = 20, weight_decay: float = 0.01,
