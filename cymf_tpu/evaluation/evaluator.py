@@ -31,7 +31,7 @@ Fixed reference defects (SURVEY.md §7 "known defects", do-not-replicate):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

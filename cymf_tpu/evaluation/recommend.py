@@ -13,7 +13,7 @@ local-matmul + collectives over ICI.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

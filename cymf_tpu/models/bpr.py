@@ -28,14 +28,11 @@ TPU-native redesign (not a port):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from sklearn import utils as sk_utils
 
-from .. import config
 from ..ops.hashset import build_pair_hashset, hashset_contains
 from ..optim import make_optimizer
 from .base import MFTrainerBase, PersistenceMixin, as_csr

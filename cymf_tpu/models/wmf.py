@@ -26,7 +26,6 @@ from typing import List
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy import sparse
 
 from .. import config
 from ..ops.als import AlsChunk, build_chunks, wmf_chunk_solve
