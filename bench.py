@@ -15,6 +15,9 @@ Environment knobs:
   BENCH_BATCH=N     override batch size (default 131072)
   BENCH_DIM=N       override embedding dim (default 20)
   BENCH_EPOCHS=N    timed epochs (default 3)
+  BENCH_MODEL=bpr|wmf|bpr_pallas
+                    secondary benchmarks: WMF ALS sweep time at ML-20M
+                    shapes, or the Pallas engine at ml-100k shapes
 """
 
 from __future__ import annotations
@@ -28,6 +31,11 @@ import numpy as np
 
 
 def main():
+    model = os.environ.get("BENCH_MODEL", "bpr")
+    if model == "wmf":
+        return bench_wmf()
+    if model == "bpr_pallas":
+        return bench_bpr_pallas()
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +112,88 @@ def main():
         "value": round(ips, 1),
         "unit": "interactions/s",
         "vs_baseline": round(ips / 5.4e6, 2),
+    }))
+
+
+def bench_wmf():
+    """ALS sweep time at ML-20M shapes (BASELINE.md: reference ~10 epochs/s
+    on the 200x smaller ml-100k)."""
+    import time
+
+    import jax
+    from scipy import sparse
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.models.wmf import WMF
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = 138493, 26744
+    nnz = 1_000_000 if small else 20_000_263
+    K = int(os.environ.get("BENCH_DIM", "64"))
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    X = sparse.csr_matrix((np.ones(len(users), np.float64), (users, items)),
+                          shape=(U, I))
+    X.data[:] = 1.0
+    m = WMF(num_components=K)
+    m.fit(X, num_epochs=1, verbose=False)  # compile
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    t0 = time.perf_counter()
+    m.fit(X, num_epochs=epochs, verbose=False)
+    _ = m.W  # device->host barrier
+    dt = (time.perf_counter() - t0) / epochs
+    print(json.dumps({
+        "metric": "wmf_als_epoch_seconds_ml20m",
+        "value": round(dt, 3),
+        "unit": "s/epoch (user+item sweeps)",
+        "vs_baseline": round((1.0 / 10.0) / dt, 2),
+    }))
+
+
+def bench_bpr_pallas():
+    """Pallas engine epoch rate at ml-100k shapes (reference README:
+    98.46 epochs/s on 8 CPU threads)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.ops.pallas_engine import bpr_pallas_epoch, pack_table
+
+    U, I, K = 943, 1682, 20
+    N = 55296
+    chunk = 4096
+    S = N // chunk
+    rng = np.random.default_rng(0)
+    Wp = pack_table((rng.uniform(-0.1, 0.1, (U, K)) / K).astype(np.float32),
+                    "adam")
+    Hp = pack_table((rng.uniform(-0.1, 0.1, (I, K)) / K).astype(np.float32),
+                    "adam")
+    u = jnp.asarray(rng.integers(0, U, (S, 1, chunk)), jnp.int32)
+    i = jnp.asarray(rng.integers(0, I, (S, 1, chunk)), jnp.int32)
+    j = jnp.asarray(rng.integers(0, I, (S, 1, chunk)), jnp.int32)
+    mask = jnp.asarray(
+        (rng.random((S, 1, chunk)) > 0.06).astype(np.int32)
+        * (np.asarray(i) != np.asarray(j)))
+    interpret = jax.default_backend() != "tpu"
+
+    def run(Wp, Hp):
+        return bpr_pallas_epoch(Wp, Hp, u, i, j, mask, optimizer="adam",
+                                lr=0.01, wd=0.01, group=8,
+                                interpret=interpret)
+
+    Wp, Hp, loss = run(Wp, Hp)
+    float(jax.device_get(loss))
+    reps = int(os.environ.get("BENCH_EPOCHS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        Wp, Hp, loss = run(Wp, Hp)
+    float(jax.device_get(loss))
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "bpr_pallas_epochs_per_sec_ml100k",
+        "value": round(1.0 / dt, 1),
+        "unit": "epochs/s",
+        "vs_baseline": round((1.0 / dt) / 98.46, 2),
     }))
 
 

@@ -174,6 +174,9 @@ class BPR(MFTrainerBase, PersistenceMixin):
         positives = positives.astype(np.int32)
         self._samples_per_epoch = len(users)
         if self.engine == "pallas":
+            if checkpoint_path is not None:
+                raise NotImplementedError(
+                    "checkpointing is only supported with engine='xla'")
             return self._fit_pallas(X, users, positives, num_epochs, verbose,
                                     seed)
         N = len(users)
