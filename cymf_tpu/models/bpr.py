@@ -49,6 +49,21 @@ def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
     return "dense" if batch_rows * 16 >= table_rows else "sparse"
 
 
+@functools.lru_cache(maxsize=64)
+def _bpr_epoch_jit(opt_name: str, lr: float, wd: float, num_users: int,
+                   num_items: int, mode: str):
+    """Cached (optimizer, jitted epoch) per static config — repeated fits
+    (warm starts, HPO sweeps) reuse the compiled executable instead of
+    recompiling per call."""
+    opt = make_optimizer(opt_name, lr)
+    fn = jax.jit(
+        functools.partial(_bpr_epoch, optimizer=opt, weight_decay=wd,
+                          num_users=num_users, num_items=num_items,
+                          update_mode=mode, u_presorted=True),
+        donate_argnums=(0, 1, 2, 3))
+    return opt, fn
+
+
 def _bpr_epoch(W, H, opt_w, opt_h, u_steps, i_steps, hs, n_valid, key, *,
                optimizer, weight_decay, num_users, num_items,
                update_mode="dense", u_presorted=False):
@@ -205,18 +220,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
-        opt = make_optimizer(self.optimizer, self.learning_rate)
-        opt_w = opt.init(Wd)
-        opt_h = opt.init(Hd)
-
         mode = choose_update_mode(self.update_mode, 3 * B,
                                   Wd.shape[0] + Hd.shape[0])
-        epoch_jit = jax.jit(
-            functools.partial(_bpr_epoch, optimizer=opt,
-                              weight_decay=self.weight_decay, num_users=U,
-                              num_items=I, update_mode=mode,
-                              u_presorted=True),
-            donate_argnums=(0, 1, 2, 3))
+        opt, epoch_jit = _bpr_epoch_jit(self.optimizer, self.learning_rate,
+                                        self.weight_decay, U, I, mode)
+        opt_w = opt.init(Wd)
+        opt_h = opt.init(Hd)
         base_key = jax.random.PRNGKey(seed)
         self._state = {"W": Wd, "H": Hd, "ow": opt_w, "oh": opt_h}
         self.last_loss = None

@@ -36,6 +36,21 @@ from ..optim import make_optimizer
 from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
+@functools.lru_cache(maxsize=64)
+def _relmf_epoch_jit(opt_name: str, lr: float, wd: float, clip: float,
+                     num_users: int, num_items: int, num_steps: int,
+                     batch_size: int, mode: str, binary: bool):
+    opt = make_optimizer(opt_name, lr)
+    fn = jax.jit(
+        functools.partial(_relmf_epoch, optimizer=opt, weight_decay=wd,
+                          clip_value=clip, num_users=num_users,
+                          num_items=num_items, num_steps=num_steps,
+                          batch_size=batch_size, update_mode=mode,
+                          binary_labels=binary),
+        donate_argnums=(0, 1, 2, 3))
+    return opt, fn
+
+
 def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
                  optimizer, weight_decay, clip_value, num_users, num_items,
                  num_steps, batch_size, update_mode="dense",
@@ -59,7 +74,7 @@ def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
         else:
             indptr, indices, data = label_src
             _, r = csr_lookup(indptr, indices, data, u, i)
-        p = props[i]
+        p = props[i, 0]  # (I, 1) column layout: row gather, not lane gather
         w = r / jnp.maximum(p, M)
 
         wu, hi = W[u], H[i]
@@ -140,13 +155,11 @@ class RelMF(MFTrainerBase, PersistenceMixin):
                          put(jnp.asarray(X.indices.astype(np.int32))),
                          put(jnp.asarray(X.data,
                                          dtype=config.param_dtype())))
-        props_d = put(jnp.asarray(props, dtype=config.param_dtype()))
+        props_d = put(jnp.asarray(props[:, None],
+                                  dtype=config.param_dtype()))
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
-        opt = make_optimizer(self.optimizer, self.learning_rate)
-        self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
-                       "oh": opt.init(Hd)}
         start_epoch = 0
         if resume and checkpoint_path is not None \
                 and __import__("os").path.exists(checkpoint_path):
@@ -161,14 +174,11 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         from .bpr import choose_update_mode
         mode = choose_update_mode(self.update_mode, 2 * B,
                                   Wd.shape[0] + Hd.shape[0])
-        epoch_jit = jax.jit(
-            functools.partial(_relmf_epoch, optimizer=opt,
-                              weight_decay=self.weight_decay,
-                              clip_value=self.clip_value, num_users=U,
-                              num_items=I, num_steps=num_steps,
-                              batch_size=B, update_mode=mode,
-                              binary_labels=binary),
-            donate_argnums=(0, 1, 2, 3))
+        opt, epoch_jit = _relmf_epoch_jit(
+            self.optimizer, self.learning_rate, self.weight_decay,
+            self.clip_value, U, I, num_steps, B, mode, binary)
+        self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
+                       "oh": opt.init(Hd)}
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
 

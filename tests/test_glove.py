@@ -143,3 +143,26 @@ def test_glove_checkpoint_resume(tmp_path):
     # m3 (fresh shuffle) — wait: both seed np with 9 then init draws then
     # shuffle; identical streams, so full parity is expected
     np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-6)
+
+
+def test_glove_bias_modes_equivalent_quality():
+    """fused (paper-rule) and kfold (reference-quirk) bias modes both
+    reconstruct log-counts to similar quality."""
+    X = _toy_cooc(V=20, seed=7)
+    errs = {}
+    for mode in ("fused", "kfold"):
+        np.random.seed(7)
+        m = GloVe(num_components=10, learning_rate=0.1, batch_size=128,
+                  bias_mode=mode)
+        m.fit(X, num_epochs=200)
+        coo = X.tocoo()
+        pred = (np.sum(m.W_central[coo.row] * m.W_context[coo.col], axis=1)
+                + m.bias[coo.row] + m.context_bias[coo.col])
+        errs[mode] = np.mean((pred - np.log(coo.data)) ** 2)
+    assert errs["fused"] < 0.15, errs
+    assert errs["kfold"] < 0.15, errs
+
+
+def test_glove_invalid_bias_mode():
+    with pytest.raises(ValueError):
+        GloVe(bias_mode="magic")
