@@ -1,9 +1,15 @@
 """Yahoo! R3 loader (rebuild of `/root/reference/cymf/dataset/yahoomusic.py`).
 
-The R3 dataset requires manual download from the Yahoo Webscope program; like
-the reference (`yahoomusic.py:24-27`) we print instructions when the data is
-absent, but raise ``FileNotFoundError`` instead of calling ``exit(1)`` (a
-known reference wart: libraries should not kill the interpreter).
+Protocol (must match for parity): the R3 train/test TSVs have 1-based
+user/item ids and explicit ratings; ids are shifted to 0-based, ratings >=
+``min_rating`` are kept and binarized to 1.0, user/item counts come from the
+train file, and the validation split is 90/10 of train with
+``random_state=12345`` (`yahoomusic.py:29-48`).
+
+The R3 dataset requires manual download from the Yahoo Webscope program;
+like the reference (`yahoomusic.py:24-27`) instructions are printed when the
+data is absent, but a ``FileNotFoundError`` is raised instead of ``exit(1)``
+(a known reference wart: libraries should not kill the interpreter).
 """
 
 from __future__ import annotations
@@ -14,6 +20,11 @@ import pandas as pd
 from sklearn.model_selection import train_test_split
 
 from .implicit import ImplicitFeedbackDataset
+
+_FILES = {
+    "train": "ydata-ymusic-rating-study-v1_0-train.txt",
+    "test": "ydata-ymusic-rating-study-v1_0-test.txt",
+}
 
 
 class YahooMusic(ImplicitFeedbackDataset):
@@ -29,26 +40,11 @@ class YahooMusic(ImplicitFeedbackDataset):
             print(msg)
             raise FileNotFoundError(msg)
 
-        self.df_train = pd.read_csv(
-            self.dir_path.joinpath("ydata-ymusic-rating-study-v1_0-train.txt"),
-            sep="\t", names=["user", "item", "rating"])
-        self.df_train["user"] -= 1
-        self.df_train["item"] -= 1
-        self.df_train = self.df_train[self.df_train["rating"] >= min_rating]
-        self.df_train = self.df_train.copy()
-        self.df_train["rating"] = 1.0
+        self.df_train = self._read(_FILES["train"], min_rating)
+        self.df_test = self._read(_FILES["test"], min_rating)
 
-        self.df_test = pd.read_csv(
-            self.dir_path.joinpath("ydata-ymusic-rating-study-v1_0-test.txt"),
-            sep="\t", names=["user", "item", "rating"])
-        self.df_test["user"] -= 1
-        self.df_test["item"] -= 1
-        self.df_test = self.df_test[self.df_test["rating"] >= min_rating]
-        self.df_test = self.df_test.copy()
-        self.df_test["rating"] = 1.0
-
-        self.num_user = max(self.df_train.user) + 1
-        self.num_item = max(self.df_train.item) + 1
+        self.num_user = int(self.df_train.user.max()) + 1
+        self.num_item = int(self.df_train.item.max()) + 1
 
         self.df_train, self.df_valid = train_test_split(
             self.df_train, test_size=0.1, random_state=12345)
@@ -57,3 +53,12 @@ class YahooMusic(ImplicitFeedbackDataset):
         self.valid = self.to_matrix(self.df_valid)
         self.test = self.to_matrix(self.df_test)
         self._finalize()
+
+    def _read(self, fname: str, min_rating: float) -> pd.DataFrame:
+        """TSV -> 0-based ids, >= min_rating kept and binarized."""
+        df = pd.read_csv(self.dir_path.joinpath(fname), sep="\t",
+                         names=["user", "item", "rating"])
+        df[["user", "item"]] -= 1
+        df = df[df["rating"] >= min_rating].copy()
+        df["rating"] = 1.0
+        return df
