@@ -65,3 +65,34 @@ def test_to_matrix_keeps_last_duplicate(fake_ml100k):
                        "rating": [2.0, 5.0]})
     m = ds.to_matrix(df)
     assert m[0, 1] == 5.0
+
+
+def test_yahoomusic_loader(tmp_path, monkeypatch):
+    from cymf_tpu.dataset import YahooMusic
+    monkeypatch.setenv("HOME", str(tmp_path))
+    d = tmp_path / ".cymf_tpu" / "yahoomusic"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+
+    def write(fname, n):
+        rows = [(int(rng.integers(1, 51)), int(rng.integers(1, 31)),
+                 int(rng.integers(1, 6))) for _ in range(n)]
+        (d / fname).write_text(
+            "\n".join("\t".join(map(str, r)) for r in rows))
+        return rows
+
+    write("ydata-ymusic-rating-study-v1_0-train.txt", 1500)
+    write("ydata-ymusic-rating-study-v1_0-test.txt", 300)
+    ds = YahooMusic()
+    assert ds.train.shape == ds.valid.shape == ds.test.shape
+    assert ds.train.shape == (ds.num_user, ds.num_item)
+    # binarized, 0-based
+    assert set(np.unique(ds.train.tocsr().data)) <= {1.0}
+    assert ds.train_size > 0 and ds.test_size > 0
+
+
+def test_yahoomusic_missing_raises(tmp_path, monkeypatch):
+    from cymf_tpu.dataset import YahooMusic
+    monkeypatch.setenv("HOME", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        YahooMusic()
