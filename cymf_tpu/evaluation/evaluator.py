@@ -152,39 +152,63 @@ class Evaluator:
         self.num_negatives = int(num_negatives)
         self.unbiased = bool(unbiased)
 
-        U, I = X.shape
-        deg = np.diff(X.indptr)
-        self._max_pos = int(deg.max()) if U > 0 and deg.size else 0
-        # padded per-user test positives
-        P = max(self._max_pos, 1)
-        pos_pad = np.zeros((U, P), dtype=np.int32)
-        pos_valid = np.zeros((U, P), dtype=bool)
-        for u in range(U):
-            lo, hi = X.indptr[u], X.indptr[u + 1]
-            n = hi - lo
-            pos_pad[u, :n] = X.indices[lo:hi]
-            pos_valid[u, :n] = True
-        self._pos_pad = pos_pad
-        self._pos_valid = pos_valid
+        self._user_chunks = self._build_user_chunks(X)
         self._device_state = None
+
+    def _build_user_chunks(self, X, max_chunk: int = 4096,
+                           max_elems: int = 1 << 22):
+        """Degree-bucketed user chunks (like the ALS chunker): users are
+        sorted by test-positive count ascending and grouped so each chunk's
+        padded candidate matrix stays bounded — one heavy user no longer
+        forces a huge pad onto every chunk.  Chunk shapes are pow2-rounded
+        to bound the number of distinct compiles."""
+        U = X.shape[0]
+        deg = np.diff(X.indptr)
+        order = np.argsort(deg, kind="stable")
+        chunks = []
+        start = 0
+        while start < U:
+            take = 1
+            while take < max_chunk and start + take < U:
+                pmax = max(int(deg[order[start + take]]), 1)
+                P = 1
+                while P < pmax:
+                    P *= 2
+                if (take + 1) * (P + self.num_negatives) > max_elems:
+                    break
+                take += 1
+            p2 = 1
+            while p2 * 2 <= take:
+                p2 *= 2
+            take = p2
+            sel = order[start:start + take].astype(np.int32)
+            start += take
+            pmax = max(int(deg[sel].max()) if len(sel) else 1, 1)
+            P = 1
+            while P < pmax:
+                P *= 2
+            pos_pad = np.zeros((take, P), np.int32)
+            pos_valid = np.zeros((take, P), bool)
+            for r, u in enumerate(sel):
+                lo, hi = X.indptr[u], X.indptr[u + 1]
+                pos_pad[r, :hi - lo] = X.indices[lo:hi]
+                pos_valid[r, :hi - lo] = True
+            chunks.append((sel, pos_pad, pos_valid))
+        return chunks
 
     def _to_device(self):
         if self._device_state is None:
             up = self.user_positives
             self._device_state = dict(
-                pos_pad=jnp.asarray(self._pos_pad),
-                pos_valid=jnp.asarray(self._pos_valid),
+                chunks=[(jnp.asarray(uids), jnp.asarray(pp),
+                         jnp.asarray(pv))
+                        for uids, pp, pv in self._user_chunks],
                 all_indptr=jnp.asarray(up.indptr.astype(np.int32)),
                 all_indices=jnp.asarray(up.indices.astype(np.int32)),
                 props=jnp.asarray(self.propensity_scores,
                                   dtype=config.param_dtype()),
             )
         return self._device_state
-
-    def _chunk_size(self, L: int, K: int) -> int:
-        # target ~128 MB of gathered candidate embeddings per chunk
-        budget = 32 * 1024 * 1024  # floats
-        return int(max(64, min(self.X.shape[0], budget // max(L * K, 1))))
 
     def evaluate(self, W, H, seed: int = 1234) -> dict:
         if isinstance(self.k, int):
@@ -195,28 +219,15 @@ class Evaluator:
         U, I = self.X.shape
         Wd = jnp.asarray(W, dtype=config.param_dtype())
         Hd = jnp.asarray(H, dtype=config.param_dtype())
-        K = Wd.shape[1]
         st = self._to_device()
-        P = st["pos_pad"].shape[1]
-        L = P + self.num_negatives
-        C = self._chunk_size(L, K)
 
         key = jax.random.PRNGKey(seed)
         sums = np.zeros((len(metric_names), len(ks)), dtype=np.float64)
-        for start in range(0, U, C):
-            chunk_users = np.arange(start, min(start + C, U), dtype=np.int32)
-            n = len(chunk_users)
-            if n < C:  # pad chunk; padded users have no positives -> 0
-                pad = np.zeros(C - n, dtype=np.int32)
-                chunk_users = np.concatenate([chunk_users, pad])
-            uids = jnp.asarray(chunk_users)
+        for ci, (uids, pos_pad, pos_valid) in enumerate(st["chunks"]):
             vals = _evaluate_chunk(
-                Wd, Hd, uids,
-                st["pos_pad"][uids],
-                jnp.where((jnp.arange(C) < n)[:, None],
-                          st["pos_valid"][uids], False),
+                Wd, Hd, uids, pos_pad, pos_valid,
                 st["all_indptr"], st["all_indices"], st["props"],
-                jax.random.fold_in(key, start),
+                jax.random.fold_in(key, ci),
                 num_negatives=self.num_negatives, ks=ks,
                 metric_names=metric_names, unbiased=self.unbiased)
             sums += np.asarray(vals, dtype=np.float64).sum(axis=-1)
