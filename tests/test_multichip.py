@@ -54,3 +54,37 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_relmf_same_result_1dev_vs_8dev(data):
+    from cymf_tpu import RelMF
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = RelMF(num_components=6, batch_size=256)
+            m.fit(data.train, num_epochs=2, verbose=False, seed=5)
+            return m.W.copy()
+
+    W1 = run(jax.devices()[:1])
+    W8 = run(jax.devices())
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+
+
+def test_glove_same_result_1dev_vs_8dev():
+    from scipy import sparse
+    from cymf_tpu import GloVe
+    rng = np.random.default_rng(4)
+    dense = np.triu(rng.integers(0, 20, (24, 24))
+                    * (rng.random((24, 24)) < 0.3))
+    X = sparse.csr_matrix(dense)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            np.random.seed(11)
+            m = GloVe(num_components=8, batch_size=64)
+            m.fit(X, num_epochs=5)
+            return m.W.copy()
+
+    W1 = run(jax.devices()[:1])
+    W8 = run(jax.devices())
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
