@@ -111,8 +111,15 @@ class RelMF(MFTrainerBase, PersistenceMixin):
     def __init__(self, num_components: int = 20, clip_value: float = 0.1,
                  learning_rate: float = 0.001, optimizer: str = "adam",
                  weight_decay: float = 0.01, batch_size: int = 8192,
-                 update_mode: str = "auto"):
+                 update_mode: str = "auto", engine: str = "xla"):
+        """``engine="pallas"``: VMEM-resident sequential per-sample kernel
+        (see cymf_tpu.ops.pallas_engine) for small catalogs — replays the
+        reference's per-cell update schedule exactly (group=1) or as the
+        8-thread Hogwild analogue (group=8 default)."""
         super().__init__(num_components)
+        if engine not in ("xla", "pallas"):
+            raise ValueError("engine must be 'xla' or 'pallas'")
+        self.engine = engine
         self.clip_value = float(clip_value)
         self.learning_rate = float(learning_rate)
         self.optimizer = optimizer
@@ -142,6 +149,12 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         # propensities per relmf.pyx:88 (column means of the full matrix)
         col_mean = np.asarray(X.mean(axis=0)).flatten()
         props = np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5
+
+        if self.engine == "pallas":
+            if checkpoint_path is not None:
+                raise NotImplementedError(
+                    "checkpointing is only supported with engine='xla'")
+            return self._fit_pallas(X, props, num_epochs, verbose, seed)
 
         mesh = self.mesh
         put = mesh.put_replicated
@@ -198,6 +211,77 @@ class RelMF(MFTrainerBase, PersistenceMixin):
                          verbose, ncols=100, checkpoint_path=checkpoint_path,
                          checkpoint_every=checkpoint_every,
                          start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_pallas(self, X, props, num_epochs, verbose, seed,
+                    chunk: int = 4096, group: int = 8):
+        """Sequential per-cell training via the VMEM-resident Pallas kernel
+        (`cymf_tpu.ops.pallas_engine.relmf_pallas_epoch`)."""
+        from ..ops.pallas_engine import (fits_vmem, pack_table,
+                                         relmf_pallas_epoch, unpack_table)
+        U, I = X.shape
+        if not fits_vmem(U + I, self.optimizer):
+            raise ValueError(
+                "tables + optimizer state exceed the VMEM budget; use "
+                "engine='xla' for catalogs of this size")
+
+        K = self.num_components
+        N = U * I  # cells per epoch (relmf.pyx:128)
+        chunk = max(group, (min(chunk, N) // group) * group)
+        S = max(1, -(-N // chunk))
+        Np = S * chunk
+        clipped = np.maximum(props, self.clip_value)
+        rng = np.random.default_rng(seed)
+        interpret = jax.default_backend() != "tpu"
+
+        Wp = pack_table(np.asarray(self.W, np.float32), self.optimizer)
+        Hp = pack_table(np.asarray(self.H, np.float32), self.optimizer)
+        self._state = {"W": unpack_table(Wp, K), "H": unpack_table(Hp, K)}
+        self._last_loss_dev = None
+        mask = np.concatenate(
+            [np.ones(N, np.int32), np.zeros(Np - N, np.int32)])
+        mask_d = jnp.asarray(mask.reshape(S, 1, chunk))
+
+        def epoch_fn(epoch):
+            nonlocal Wp, Hp
+            u = rng.integers(0, U, Np).astype(np.int32)
+            i = rng.integers(0, I, Np).astype(np.int32)
+            # label r = X[u, i] via sorted-key lookup; w = r / max(p_i, M)
+            keys = u.astype(np.int64) * I + i
+            # vectorized sorted-key lookup without densifying X
+            if len(self._pos_keys):
+                pos = np.minimum(np.searchsorted(self._pos_keys, keys),
+                                 len(self._pos_keys) - 1)
+                hit = self._pos_keys[pos] == keys
+                rvals = np.where(hit, self._pos_vals[pos], 0.0)
+            else:
+                rvals = np.zeros(len(keys), np.float32)
+            w = (rvals / clipped[i]).astype(np.float32)
+            Wp, Hp, loss = relmf_pallas_epoch(
+                Wp, Hp, jnp.asarray(u.reshape(S, 1, chunk)),
+                jnp.asarray(i.reshape(S, 1, chunk)),
+                jnp.asarray(w.reshape(S, 1, chunk)), mask_d,
+                optimizer=self.optimizer, lr=self.learning_rate,
+                wd=self.weight_decay, interpret=interpret, group=group)
+            self._state["W"] = unpack_table(Wp, K)
+            self._state["H"] = unpack_table(Hp, K)
+            self._last_loss_dev = loss / max(N, 1)
+
+        coo = X.tocoo()
+        order = np.argsort(coo.row.astype(np.int64) * I + coo.col)
+        self._pos_keys = (coo.row.astype(np.int64) * I + coo.col)[order]
+        self._pos_vals = coo.data[order].astype(np.float32)
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, ncols=100)
         if self._last_loss_dev is not None:
             self.last_loss = float(jax.device_get(self._last_loss_dev))
         self._finalize_fit()

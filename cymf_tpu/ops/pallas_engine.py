@@ -223,3 +223,124 @@ def bpr_pallas_epoch(W_packed, H_packed, u, i, j, mask, *, optimizer: str,
         interpret=interpret,
     )(u, i, j, mask, W_packed, H_packed)
     return Wo, Ho, loss[0, 0]
+
+
+def _make_relmf_kernel(optimizer: str, lr: float, wd: float, beta1: float,
+                       beta2: float, eps: float, chunk: int, group: int):
+    """RelMF pointwise kernel (`model.pyx:99-142` semantics): per sample,
+
+        s   = w_u . h_i
+        gW  = -(w - s) * h_i + wd * w_u      (w = r / max(p, M), host-side)
+        gH  = -(w - s) * w_u + wd * h_i
+        L   = w (1-s)^2 + (1-w) s^2 + wd (|w_u|^2 + |h_i|^2)
+
+    using the same fused-row tables / grouped sequential structure as the
+    BPR kernel (group=1 exact schedule, group=G the G-thread Hogwild
+    analogue)."""
+    n_state = _N_STATE[optimizer]
+
+    def split_rows(rows):
+        param = rows[:, :LANES]
+        state = [rows[:, LANES * (s + 1):LANES * (s + 2)]
+                 for s in range(n_state)]
+        return param, state
+
+    def updated_rows(param, state, g):
+        if optimizer == "adam":
+            m, v = state
+            m2 = beta1 * m + (1 - beta1) * g
+            v2 = beta2 * v + (1 - beta2) * g * g
+            p2 = param - lr * (m2 / (1 - beta1)) / (
+                jnp.sqrt(v2 / (1 - beta2)) + eps)
+            return jnp.concatenate([p2, m2, v2], axis=1)
+        if optimizer == "adagrad":
+            (a,) = state
+            a2 = a + g * g
+            p2 = param - lr * g * jax.lax.rsqrt(a2)
+            return jnp.concatenate([p2, a2], axis=1)
+        return param - lr * g
+
+    def kernel(u_ref, i_ref, w_ref, m_ref, W_in, H_in, W, H, loss_ref):
+        del W_in, H_in
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+
+        def body(gi, acc):
+            base = gi * group
+            us = [u_ref[0, 0, base + t] for t in range(group)]
+            is_ = [i_ref[0, 0, base + t] for t in range(group)]
+            keeps = [m_ref[0, 0, base + t] != 0 for t in range(group)]
+            wvec = jnp.concatenate(
+                [w_ref[0, 0, base + t].reshape(1, 1) for t in range(group)],
+                axis=0)                                      # [G, 1]
+            rows_u = jnp.concatenate(
+                [W[pl.ds(us[t], 1), :] for t in range(group)], axis=0)
+            rows_i = jnp.concatenate(
+                [H[pl.ds(is_[t], 1), :] for t in range(group)], axis=0)
+            wu, st_u = split_rows(rows_u)
+            hi, st_i = split_rows(rows_i)
+            s = jnp.sum(wu * hi, axis=1, keepdims=True)      # [G, 1]
+            coef = wvec - s
+            g_wu = -coef * hi + wd * wu
+            g_hi = -coef * wu + wd * hi
+            new_u = updated_rows(wu, st_u, g_wu)
+            new_i = updated_rows(hi, st_i, g_hi)
+
+            for t in range(group):
+                @pl.when(keeps[t])
+                def _(t=t):
+                    W[pl.ds(us[t], 1), :] = new_u[t:t + 1]
+                    H[pl.ds(is_[t], 1), :] = new_i[t:t + 1]
+
+            l2 = (jnp.sum(wu * wu, axis=1, keepdims=True)
+                  + jnp.sum(hi * hi, axis=1, keepdims=True))
+            loss = (wvec * jnp.square(1.0 - s)
+                    + (1.0 - wvec) * jnp.square(s) + wd * l2)
+            mf = jnp.concatenate(
+                [jnp.where(keeps[t], 1.0, 0.0).reshape(1, 1)
+                 for t in range(group)], axis=0)
+            return acc + jnp.sum(mf * loss)
+
+        loss_ref[0, 0] += jax.lax.fori_loop(0, chunk // group, body, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("optimizer", "lr", "wd", "beta1", "beta2", "eps",
+                     "interpret", "group"))
+def relmf_pallas_epoch(W_packed, H_packed, u, i, w, mask, *, optimizer: str,
+                       lr: float, wd: float, beta1: float = 0.9,
+                       beta2: float = 0.999, eps: float = 1e-8,
+                       interpret: bool = False, group: int = 1):
+    """Sequential RelMF epoch on fused tables.
+
+    Args:
+      u, i: int32[S, 1, CHUNK] sampled cells; w: float32[S, 1, CHUNK]
+      propensity-clipped label weights r / max(p, M) (host-precomputed);
+      mask nonzero = keep (0 for padding).
+    """
+    S, _, chunk = u.shape
+    if chunk % group:
+        raise ValueError(f"group {group} must divide chunk {chunk}")
+    kernel = _make_relmf_kernel(optimizer, lr, wd, beta1, beta2, eps, chunk,
+                                group)
+    smem_spec = pl.BlockSpec((1, 1, chunk), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM)
+    Wo, Ho, loss = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=[jax.ShapeDtypeStruct(W_packed.shape, W_packed.dtype),
+                   jax.ShapeDtypeStruct(H_packed.shape, H_packed.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        in_specs=[smem_spec] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(u, i, w, mask, W_packed, H_packed)
+    return Wo, Ho, loss[0, 0]

@@ -135,3 +135,87 @@ def test_bpr_pallas_engine_rejects_big_tables():
         shape=(150000, 30000)).tocsr()
     with pytest.raises(ValueError):
         m.fit(X, num_epochs=1, verbose=False)
+
+
+def _numpy_relmf_sequential(W, H, u, i, w, mask, optimizer, lr, wd,
+                            b1=0.9, b2=0.999, eps=1e-8):
+    W = W.copy(); H = H.copy()
+    state = {}
+    if optimizer == "adam":
+        state = dict(mW=np.zeros_like(W), vW=np.zeros_like(W),
+                     mH=np.zeros_like(H), vH=np.zeros_like(H))
+    elif optimizer == "adagrad":
+        state = dict(aW=np.ones_like(W), aH=np.ones_like(H))
+
+    def apply(table, tid, row, g):
+        if optimizer == "adam":
+            m, v = state["m" + tid], state["v" + tid]
+            m[row] = b1 * m[row] + (1 - b1) * g
+            v[row] = b2 * v[row] + (1 - b2) * g * g
+            table[row] -= lr * (m[row] / (1 - b1)) / (
+                np.sqrt(v[row] / (1 - b2)) + eps)
+        elif optimizer == "adagrad":
+            a = state["a" + tid]
+            a[row] += g * g
+            table[row] -= lr * g / np.sqrt(a[row])
+        else:
+            table[row] -= lr * g
+
+    total = 0.0
+    for b in range(len(u)):
+        if not mask[b]:
+            continue
+        s = W[u[b]] @ H[i[b]]
+        coef = w[b] - s
+        g_w = -coef * H[i[b]] + wd * W[u[b]]
+        g_h = -coef * W[u[b]] + wd * H[i[b]]
+        total += (w[b] * (1 - s) ** 2 + (1 - w[b]) * s ** 2
+                  + wd * (W[u[b]] @ W[u[b]] + H[i[b]] @ H[i[b]]))
+        apply(W, "W", u[b], g_w)
+        apply(H, "H", i[b], g_h)
+    return W, H, total
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "adam"])
+def test_relmf_pallas_matches_numpy_sequential(optimizer):
+    from cymf_tpu.ops.pallas_engine import relmf_pallas_epoch
+    rng = np.random.default_rng(1)
+    U, I, K, N = 20, 14, 6, 96
+    chunk = 32
+    S = N // chunk
+    W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
+    H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
+    u = rng.integers(0, U, N).astype(np.int32)
+    i = rng.integers(0, I, N).astype(np.int32)
+    w = (rng.random(N) < 0.3).astype(np.float32) * rng.uniform(1, 5, N)
+    mask = (rng.random(N) > 0.1).astype(np.int32)
+    lr, wd = 0.05, 0.01
+
+    Wp = pack_table(W0, optimizer)
+    Hp = pack_table(H0, optimizer)
+    Wo, Ho, loss = relmf_pallas_epoch(
+        Wp, Hp, jnp.asarray(u.reshape(S, 1, chunk)),
+        jnp.asarray(i.reshape(S, 1, chunk)),
+        jnp.asarray(w.reshape(S, 1, chunk)),
+        jnp.asarray(mask.reshape(S, 1, chunk)),
+        optimizer=optimizer, lr=lr, wd=wd, interpret=True)
+
+    W_ref, H_ref, loss_ref = _numpy_relmf_sequential(
+        W0.astype(np.float32), H0.astype(np.float32), u, i,
+        w.astype(np.float32), mask, optimizer, lr, wd)
+    np.testing.assert_allclose(np.asarray(unpack_table(Wo, K)), W_ref,
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(unpack_table(Ho, K)), H_ref,
+                               rtol=3e-4, atol=3e-5)
+    assert float(loss) == pytest.approx(loss_ref, rel=2e-3)
+
+
+def test_relmf_pallas_engine_fit_tiny():
+    from cymf_tpu import RelMF
+    from cymf_tpu.dataset import SyntheticImplicitDataset
+    d = SyntheticImplicitDataset(num_user=15, num_item=12, rank=3,
+                                 density=0.2, seed=3)
+    m = RelMF(num_components=4, learning_rate=0.05, engine="pallas")
+    m.fit(d.train, num_epochs=2, verbose=False)
+    assert np.isfinite(m.W).all() and np.isfinite(m.H).all()
+    assert m.last_loss is not None and np.isfinite(m.last_loss)
