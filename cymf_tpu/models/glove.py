@@ -158,7 +158,7 @@ class GloVe:
     def __init__(self, num_components: int = 50, learning_rate: float = 0.01,
                  alpha: float = 0.75, x_max: float = 10.0,
                  batch_size: int = 4096, update_mode: str = "auto",
-                 bias_mode: str = "fused"):
+                 bias_mode: str = "fused", engine: str = "xla"):
         self.num_components = int(num_components)
         self.learning_rate = float(learning_rate)
         self.alpha = float(alpha)
@@ -170,6 +170,9 @@ class GloVe:
         if bias_mode not in ("fused", "kfold"):
             raise ValueError("bias_mode must be fused|kfold")
         self.bias_mode = bias_mode
+        if engine not in ("xla", "pallas"):
+            raise ValueError("engine must be 'xla' or 'pallas'")
+        self.engine = engine
         self.W = None
         self.bias = None
 
@@ -208,6 +211,13 @@ class GloVe:
                 [central, np.full(pad, np.int32(2**31 - 1))])
             context = np.concatenate([context, np.zeros(pad, np.int32)])
             counts = np.concatenate([counts, np.ones(pad)])
+        if self.engine == "pallas":
+            if checkpoint_path is not None:
+                raise NotImplementedError(
+                    "checkpointing is only supported with engine='xla'")
+            return self._fit_pallas(W_central, central_bias, W_context,
+                                    context_bias, central, context, counts,
+                                    N, num_epochs, verbose, V1, V2)
         # per-batch sort by central word (sorted-scatter fast path; order
         # within a synchronous batch is semantically irrelevant; padding
         # sentinels sort last and are masked by the in-data check)
@@ -309,3 +319,71 @@ class GloVe:
             for i in range(self.W.shape[0]):
                 f.write(f"{index2word[i]} "
                         + " ".join(map(str, self.W[i])) + "\n")
+
+    def _fit_pallas(self, W_central, central_bias, W_context, context_bias,
+                    central, context, counts, N, num_epochs, verbose,
+                    V1, V2, chunk: int = 4096, group: int = 8):
+        """Sequential per-triple training via the VMEM-resident Pallas
+        kernel (`cymf_tpu.ops.pallas_engine.glove_pallas_epoch`);
+        fused-bias AdaGrad only."""
+        from ..ops.pallas_engine import (fits_vmem, glove_pallas_epoch,
+                                        pack_table, unpack_table)
+        K = self.num_components
+        if K + 2 > 126 or not fits_vmem(V1 + V2, "adagrad"):
+            raise ValueError(
+                "vocab/table size exceeds the VMEM budget; use "
+                "engine='xla'")
+
+        Np = len(central)  # already padded to S*B by fit; re-chunk
+        chunk = max(group, (min(chunk, Np) // group) * group)
+        S = max(1, -(-Np // chunk))
+        pad2 = S * chunk - Np
+        sent = np.int32(2**31 - 1)
+        central = np.concatenate([central, np.full(pad2, sent)])
+        context = np.concatenate([context, np.zeros(pad2, np.int32)])
+        counts = np.concatenate([counts, np.ones(pad2)])
+        keep = (central != sent) & (central < V1) \
+            | np.zeros(len(central), bool)
+        # original fit() padding used the sentinel too; mask on it
+        keep &= np.arange(len(central)) < min(N, len(central))
+
+        f = np.minimum((counts / self.x_max) ** self.alpha, 1.0)
+        logcnt = np.log(np.maximum(counts, 1e-30))
+
+        Wc_aug = np.concatenate(
+            [W_central, central_bias[:, None], np.ones((V1, 1))], axis=1)
+        Wx_aug = np.concatenate(
+            [W_context, np.ones((V2, 1)), context_bias[:, None]], axis=1)
+        Wp = pack_table(Wc_aug.astype(np.float32), "adagrad")
+        Xp = pack_table(Wx_aug.astype(np.float32), "adagrad")
+
+        import jax
+        interpret = jax.default_backend() != "tpu"
+        sh = (S, 1, chunk)
+        c_d = jnp.asarray(np.where(keep, central, 0).astype(np.int32)
+                          .reshape(sh))
+        x_d = jnp.asarray(context.astype(np.int32).reshape(sh))
+        f_d = jnp.asarray(f.astype(np.float32).reshape(sh))
+        lc_d = jnp.asarray(logcnt.astype(np.float32).reshape(sh))
+        m_d = jnp.asarray(keep.astype(np.int32).reshape(sh))
+
+        loss = None
+        with tqdm(total=num_epochs, leave=True, ncols=100,
+                  disable=not verbose) as progress:
+            for it in range(num_epochs):
+                Wp, Xp, loss = glove_pallas_epoch(
+                    Wp, Xp, c_d, x_d, f_d, lc_d, m_d,
+                    lr=self.learning_rate, k_dim=K, interpret=interpret,
+                    group=group)
+                progress.set_description(
+                    f"ITER={it + 1:{len(str(num_epochs))}}, "
+                    f"LOSS: {float(jax.device_get(loss)):.4f}")
+                progress.update(1)
+
+        self.last_loss = float(jax.device_get(loss)) if loss is not None \
+            else None
+        self.W_central = np.asarray(Wp[:V1, :K], np.float64)
+        self.W_context = np.asarray(Xp[:V2, :K], np.float64)
+        self.bias = np.asarray(Wp[:V1, K], np.float64)
+        self.context_bias = np.asarray(Xp[:V2, K + 1], np.float64)
+        self.W = (self.W_central + self.W_context) / 2.0

@@ -344,3 +344,105 @@ def relmf_pallas_epoch(W_packed, H_packed, u, i, w, mask, *, optimizer: str,
         interpret=interpret,
     )(u, i, w, mask, W_packed, H_packed)
     return Wo, Ho, loss[0, 0]
+
+
+def _make_glove_kernel(lr: float, chunk: int, group: int, k_dim: int):
+    """GloVe kernel over fused-bias augmented tables (AdaGrad only,
+    `optimizer.pyx:85-123` semantics): per sample,
+
+        diff = wc_aug . hx_aug - log(count)     (aug cols carry the biases)
+        g_c  = f * diff * hx_aug  (const-1 column masked)
+        g_x  = f * diff * wc_aug  (const-1 column masked)
+        L    = 0.5 * f * diff^2
+
+    where f = min((count/x_max)^alpha, 1) is host-precomputed."""
+
+    def kernel(c_ref, x_ref, f_ref, lc_ref, m_ref, Wc_in, Wx_in, Wc, Wx,
+               loss_ref):
+        del Wc_in, Wx_in
+        width = LANES
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        mask_c = (col != k_dim + 1).astype(jnp.float32)
+        mask_x = (col != k_dim).astype(jnp.float32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+
+        def adagrad(param, acc, g):
+            a2 = acc + g * g
+            p2 = param - lr * g * jax.lax.rsqrt(a2)
+            return jnp.concatenate([p2, a2], axis=1)
+
+        def body(gi, acc):
+            base = gi * group
+            cs = [c_ref[0, 0, base + t] for t in range(group)]
+            xs = [x_ref[0, 0, base + t] for t in range(group)]
+            keeps = [m_ref[0, 0, base + t] != 0 for t in range(group)]
+            fvec = jnp.concatenate(
+                [f_ref[0, 0, base + t].reshape(1, 1) for t in range(group)],
+                axis=0)
+            lcvec = jnp.concatenate(
+                [lc_ref[0, 0, base + t].reshape(1, 1)
+                 for t in range(group)], axis=0)
+            rows_c = jnp.concatenate(
+                [Wc[pl.ds(cs[t], 1), :] for t in range(group)], axis=0)
+            rows_x = jnp.concatenate(
+                [Wx[pl.ds(xs[t], 1), :] for t in range(group)], axis=0)
+            wc, ac = rows_c[:, :LANES], rows_c[:, LANES:]
+            hx, ax = rows_x[:, :LANES], rows_x[:, LANES:]
+            diff = jnp.sum(wc * hx, axis=1, keepdims=True) - lcvec
+            fd = fvec * diff
+            g_c = fd * hx * mask_c
+            g_x = fd * wc * mask_x
+            new_c = adagrad(wc, ac, g_c)
+            new_x = adagrad(hx, ax, g_x)
+
+            for t in range(group):
+                @pl.when(keeps[t])
+                def _(t=t):
+                    Wc[pl.ds(cs[t], 1), :] = new_c[t:t + 1]
+                    Wx[pl.ds(xs[t], 1), :] = new_x[t:t + 1]
+
+            mf = jnp.concatenate(
+                [jnp.where(keeps[t], 1.0, 0.0).reshape(1, 1)
+                 for t in range(group)], axis=0)
+            return acc + jnp.sum(mf * 0.5 * fvec * jnp.square(diff))
+
+        loss_ref[0, 0] += jax.lax.fori_loop(0, chunk // group, body, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "k_dim", "interpret", "group"))
+def glove_pallas_epoch(Wc_packed, Wx_packed, c, x, f, logcnt, mask, *,
+                       lr: float, k_dim: int, interpret: bool = False,
+                       group: int = 1):
+    """Sequential GloVe epoch on fused-bias augmented AdaGrad tables.
+
+    Tables are ``pack_table(augmented_params, "adagrad")`` where the
+    augmented params are ``[w | b_central | 1]`` / ``[h | 1 | b_context]``
+    (width k_dim + 2 <= 128).  ``f``/``logcnt`` are the host-precomputed
+    sample weights and log-counts; mask nonzero = keep.
+    """
+    S, _, chunk = c.shape
+    if chunk % group:
+        raise ValueError(f"group {group} must divide chunk {chunk}")
+    kernel = _make_glove_kernel(lr, chunk, group, k_dim)
+    smem_spec = pl.BlockSpec((1, 1, chunk), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM)
+    Wo, Xo, loss = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=[jax.ShapeDtypeStruct(Wc_packed.shape, Wc_packed.dtype),
+                   jax.ShapeDtypeStruct(Wx_packed.shape, Wx_packed.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        in_specs=[smem_spec] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(c, x, f, logcnt, mask, Wc_packed, Wx_packed)
+    return Wo, Xo, loss[0, 0]

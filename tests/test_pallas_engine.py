@@ -219,3 +219,84 @@ def test_relmf_pallas_engine_fit_tiny():
     m.fit(d.train, num_epochs=2, verbose=False)
     assert np.isfinite(m.W).all() and np.isfinite(m.H).all()
     assert m.last_loss is not None and np.isfinite(m.last_loss)
+
+
+def test_glove_pallas_matches_numpy_sequential():
+    from cymf_tpu.ops.pallas_engine import glove_pallas_epoch
+    rng = np.random.default_rng(2)
+    V1, V2, K, N = 14, 12, 6, 64
+    chunk = 32
+    S = N // chunk
+    Wc = rng.normal(size=(V1, K)).astype(np.float32) * 0.1
+    Wx = rng.normal(size=(V2, K)).astype(np.float32) * 0.1
+    bc = rng.normal(size=V1).astype(np.float32) * 0.1
+    bx = rng.normal(size=V2).astype(np.float32) * 0.1
+    c = rng.integers(0, V1, N).astype(np.int32)
+    x = rng.integers(0, V2, N).astype(np.int32)
+    cnt = (rng.exponential(3, N) + 1).astype(np.float32)
+    mask = (rng.random(N) > 0.1).astype(np.int32)
+    lr, x_max, alpha = 0.05, 10.0, 0.75
+    f = np.minimum((cnt / x_max) ** alpha, 1.0).astype(np.float32)
+    logcnt = np.log(cnt).astype(np.float32)
+
+    # numpy sequential replica of the fused-bias AdaGrad scheme
+    Wc_r, Wx_r = Wc.copy(), Wx.copy()
+    bc_r, bx_r = bc.copy(), bx.copy()
+    aW = np.ones_like(Wc_r); aX = np.ones_like(Wx_r)
+    abc = np.ones_like(bc_r); abx = np.ones_like(bx_r)
+    total = 0.0
+    for b in range(N):
+        if not mask[b]:
+            continue
+        diff = Wc_r[c[b]] @ Wx_r[x[b]] + bc_r[c[b]] + bx_r[x[b]] - logcnt[b]
+        fd = f[b] * diff
+        total += 0.5 * f[b] * diff * diff
+        gW = fd * Wx_r[x[b]].copy()
+        gX = fd * Wc_r[c[b]].copy()
+        aW[c[b]] += gW * gW
+        Wc_r[c[b]] -= lr * gW / np.sqrt(aW[c[b]])
+        abc[c[b]] += fd * fd
+        bc_r[c[b]] -= lr * fd / np.sqrt(abc[c[b]])
+        aX[x[b]] += gX * gX
+        Wx_r[x[b]] -= lr * gX / np.sqrt(aX[x[b]])
+        abx[x[b]] += fd * fd
+        bx_r[x[b]] -= lr * fd / np.sqrt(abx[x[b]])
+
+    Wc_aug = np.concatenate([Wc, bc[:, None], np.ones((V1, 1), np.float32)],
+                            axis=1)
+    Wx_aug = np.concatenate([Wx, np.ones((V2, 1), np.float32),
+                             bx[:, None]], axis=1)
+    Wp = pack_table(Wc_aug, "adagrad")
+    Xp = pack_table(Wx_aug, "adagrad")
+    sh = (S, 1, chunk)
+    Wo, Xo, loss = glove_pallas_epoch(
+        Wp, Xp, jnp.asarray(c.reshape(sh)), jnp.asarray(x.reshape(sh)),
+        jnp.asarray(f.reshape(sh)), jnp.asarray(logcnt.reshape(sh)),
+        jnp.asarray(mask.reshape(sh)), lr=lr, k_dim=K, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(Wo[:, :K]), Wc_r, rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(Wo[:, K]), bc_r, rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(Xo[:, :K]), Wx_r, rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(Xo[:, K + 1]), bx_r, rtol=3e-4,
+                               atol=3e-5)
+    # const columns untouched
+    np.testing.assert_allclose(np.asarray(Wo[:, K + 1]), 1.0)
+    np.testing.assert_allclose(np.asarray(Xo[:, K]), 1.0)
+    assert float(loss) == pytest.approx(total, rel=2e-3)
+
+
+def test_glove_pallas_engine_fit_tiny():
+    from scipy import sparse
+    from cymf_tpu import GloVe
+    rng = np.random.default_rng(5)
+    dense = np.triu(rng.integers(0, 15, (12, 12))
+                    * (rng.random((12, 12)) < 0.4))
+    X = sparse.csr_matrix(dense)
+    m = GloVe(num_components=4, learning_rate=0.05, batch_size=32,
+              engine="pallas")
+    m.fit(X, num_epochs=2)
+    assert np.isfinite(m.W).all()
+    assert m.W.shape == (12, 4)
