@@ -131,3 +131,22 @@ def test_negatives_never_collide_with_positives():
     res = ev.evaluate(W, H)
     # every positive ranks above every sampled negative -> perfect recall
     assert res[f"Recall@{I}"] == pytest.approx(1.0)
+
+
+def test_evaluator_zero_negatives():
+    """num_negatives=0: candidates are the test positives only."""
+    X_test, X_train, W, H = _toy_data()
+    ev = Evaluator(X_test, X_train, k=5, num_negatives=0)
+    res = ev.evaluate(W, H)
+    # with positives only, every top-k slot is a positive
+    assert res["Recall@5"] > 0
+    assert np.isfinite(list(res.values())).all()
+
+
+def test_evaluator_single_user():
+    dense = np.zeros((1, 10))
+    dense[0, [1, 4]] = 1.0
+    ev = Evaluator(sparse.csr_matrix(dense), None, k=2, num_negatives=5)
+    rng = np.random.default_rng(0)
+    res = ev.evaluate(rng.normal(size=(1, 3)), rng.normal(size=(10, 3)))
+    assert np.isfinite(list(res.values())).all()
