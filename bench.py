@@ -141,11 +141,14 @@ def bench_wmf():
     m.fit(X, num_epochs=epochs, verbose=False)
     _ = m.W  # device->host barrier
     dt = (time.perf_counter() - t0) / epochs
+    # baseline ALS work rate: ~10 epochs/s over ml-100k's 55,375 train nnz
+    # (BASELINE.md) = ~554k interactions solved per second
+    rate = X.nnz / dt
     print(json.dumps({
-        "metric": "wmf_als_epoch_seconds_ml20m",
-        "value": round(dt, 3),
-        "unit": "s/epoch (user+item sweeps)",
-        "vs_baseline": round((1.0 / 10.0) / dt, 2),
+        "metric": "wmf_als_interactions_per_sec",
+        "value": round(rate, 1),
+        "unit": "interactions/s (per full user+item sweep)",
+        "vs_baseline": round(rate / 553_750.0, 2),
     }))
 
 
