@@ -300,3 +300,16 @@ def test_glove_pallas_engine_fit_tiny():
     m.fit(X, num_epochs=2)
     assert np.isfinite(m.W).all()
     assert m.W.shape == (12, 4)
+
+
+def test_glove_pallas_rejects_big_vocab():
+    from scipy import sparse
+    from cymf_tpu import GloVe
+    rng = np.random.default_rng(6)
+    X = sparse.coo_matrix(
+        (np.ones(100), (rng.integers(0, 60000, 100),
+                        rng.integers(0, 60000, 100))),
+        shape=(60000, 60000)).tocsr()
+    m = GloVe(num_components=4, engine="pallas")
+    with pytest.raises(ValueError):
+        m.fit(X, num_epochs=1)
