@@ -15,10 +15,11 @@ Behavioural spec from `/root/reference/cymf/evaluator.pyx`:
 
 The rebuild replaces the serial per-user Python loop with a user-chunked,
 fully vectorized pipeline: negatives are drawn in one batch with
-``jax.random``, rejection is a vectorized CSR binary search
-(:func:`cymf_tpu.ops.segment.csr_contains`) with collision *masking*, scoring
-is one ``(C, L, K) x (C, K)`` contraction per chunk on the MXU, and all
-metrics are computed in a single fused pass.
+``jax.random``, rejection probes the granule-aligned pair hash set
+(:func:`cymf_tpu.ops.hashset.hashset_contains`, two row-gathers instead of
+a 32-round binary search) with collision *masking*, scoring is one
+``(C, L, K) x (C, K)`` contraction per chunk on the MXU, and all metrics
+are computed in a single fused pass.
 
 Fixed reference defects (SURVEY.md §7 "known defects", do-not-replicate):
 
@@ -39,7 +40,7 @@ import numpy as np
 from scipy import sparse
 
 from .. import config
-from ..ops.segment import csr_contains
+from ..ops.hashset import build_pair_hashset, hashset_contains
 from . import metrics as M
 
 _METRIC_FNS = {
@@ -57,9 +58,9 @@ NEG_OVERSAMPLE = 4  # draws NEG_OVERSAMPLE * num_negatives, keeps first valid
 @functools.partial(
     jax.jit,
     static_argnames=("num_negatives", "ks", "metric_names", "unbiased"))
-def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, all_indptr,
-                    all_indices, props, key, *, num_negatives: int,
-                    ks: tuple, metric_names: tuple, unbiased: bool):
+def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
+                    num_negatives: int, ks: tuple, metric_names: tuple,
+                    unbiased: bool):
     """Metric values for one chunk of users.
 
     Args:
@@ -67,7 +68,7 @@ def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, all_indptr,
       user_ids: int32[C] global user ids for this chunk.
       pos_pad: int32[C, P] padded test-positive item ids.
       pos_valid: bool[C, P] validity mask for ``pos_pad``.
-      all_indptr/all_indices: CSR of train+test positives (rejection set).
+      hs: PairHashSet of train+test positives (rejection set).
       props: float[I] per-item propensities.
       key: PRNG key for this chunk's negative draws.
 
@@ -80,8 +81,8 @@ def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, all_indptr,
     # --- negatives: oversample, reject via CSR membership, keep first valid.
     draws = jax.random.randint(key, (C, R), 0, I, dtype=pos_pad.dtype)
     flat_users = jnp.repeat(user_ids, R)
-    collide = csr_contains(all_indptr, all_indices, flat_users,
-                           draws.reshape(-1)).reshape(C, R)
+    collide = hashset_contains(hs, flat_users,
+                               draws.reshape(-1)).reshape(C, R)
     # stable sort: valid draws first, in draw order
     order = jnp.argsort(collide, axis=-1, stable=True)
     neg_items = jnp.take_along_axis(draws, order[:, :num_negatives], axis=-1)
@@ -198,13 +199,12 @@ class Evaluator:
 
     def _to_device(self):
         if self._device_state is None:
-            up = self.user_positives
+            up = self.user_positives.tocoo()
             self._device_state = dict(
                 chunks=[(jnp.asarray(uids), jnp.asarray(pp),
                          jnp.asarray(pv))
                         for uids, pp, pv in self._user_chunks],
-                all_indptr=jnp.asarray(up.indptr.astype(np.int32)),
-                all_indices=jnp.asarray(up.indices.astype(np.int32)),
+                hs=build_pair_hashset(up.row, up.col),
                 props=jnp.asarray(self.propensity_scores,
                                   dtype=config.param_dtype()),
             )
@@ -226,7 +226,7 @@ class Evaluator:
         for ci, (uids, pos_pad, pos_valid) in enumerate(st["chunks"]):
             vals = _evaluate_chunk(
                 Wd, Hd, uids, pos_pad, pos_valid,
-                st["all_indptr"], st["all_indices"], st["props"],
+                st["hs"], st["props"],
                 jax.random.fold_in(key, ci),
                 num_negatives=self.num_negatives, ks=ks,
                 metric_names=metric_names, unbiased=self.unbiased)
