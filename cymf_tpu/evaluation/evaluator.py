@@ -52,7 +52,53 @@ _METRIC_FNS = {
     ("MAP", True): M.average_precision_at_k_with_ips_batch,
 }
 
-NEG_OVERSAMPLE = 4  # draws NEG_OVERSAMPLE * num_negatives, keeps first valid
+NEG_OVERSAMPLE = 4   # candidates drawn per refill round, x num_negatives
+MAX_FILL_ROUNDS = 64  # safety cap: a user whose positives cover the whole
+#                       catalog has no valid negative (the reference would
+#                       spin forever at evaluator.pyx:106-111); we stop after
+#                       MAX_FILL_ROUNDS and mask the (impossible) shortfall.
+
+
+def draw_negatives(user_ids, hs, key, num_items: int, num_negatives: int,
+                   dtype=jnp.int32):
+    """Exactly ``num_negatives`` uniform negatives per user.
+
+    Matches the reference's rejection loop (`evaluator.pyx:106-111`): draw
+    uniform items, discard any that is a train/test positive, repeat *until*
+    every user has ``num_negatives`` valid candidates (duplicates allowed,
+    as in the reference).  Runs as a ``lax.while_loop`` of vectorized rounds;
+    round 1 suffices unless a user's positives cover >~3/4 of the catalog.
+
+    Returns (neg_items int[C, num_negatives], neg_valid bool[C, num_negatives]).
+    """
+    C = user_ids.shape[0]
+    R = NEG_OVERSAMPLE * num_negatives
+    flat_users = jnp.repeat(user_ids, R)
+
+    def cond(state):
+        _, count, _, rounds = state
+        return jnp.any(count < num_negatives) & (rounds < MAX_FILL_ROUNDS)
+
+    def body(state):
+        neg, count, k, rounds = state
+        k, sub = jax.random.split(k)
+        draws = jax.random.randint(sub, (C, R), 0, num_items, dtype=dtype)
+        valid = ~hashset_contains(hs, flat_users,
+                                  draws.reshape(-1)).reshape(C, R)
+        # destination slot of each valid draw, in draw order; slots beyond
+        # num_negatives (and invalid draws) fall off via mode="drop"
+        dest = count[:, None] + jnp.cumsum(valid, axis=-1) - 1
+        dest = jnp.where(valid, dest, num_negatives)
+        neg = jax.vmap(lambda n, d, v: n.at[d].set(v, mode="drop"))(
+            neg, dest, draws)
+        count = jnp.minimum(count + jnp.sum(valid, axis=-1), num_negatives)
+        return neg, count, k, rounds + 1
+
+    init = (jnp.zeros((C, num_negatives), dtype),
+            jnp.zeros((C,), jnp.int32), key, jnp.zeros((), jnp.int32))
+    neg, count, _, _ = jax.lax.while_loop(cond, body, init)
+    neg_valid = jnp.arange(num_negatives)[None, :] < count[:, None]
+    return neg, neg_valid
 
 
 @functools.partial(
@@ -76,18 +122,11 @@ def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
     """
     C, P = pos_pad.shape
     I = H.shape[0]
-    R = NEG_OVERSAMPLE * num_negatives
 
-    # --- negatives: oversample, reject via CSR membership, keep first valid.
-    draws = jax.random.randint(key, (C, R), 0, I, dtype=pos_pad.dtype)
-    flat_users = jnp.repeat(user_ids, R)
-    collide = hashset_contains(hs, flat_users,
-                               draws.reshape(-1)).reshape(C, R)
-    # stable sort: valid draws first, in draw order
-    order = jnp.argsort(collide, axis=-1, stable=True)
-    neg_items = jnp.take_along_axis(draws, order[:, :num_negatives], axis=-1)
-    num_valid = jnp.sum(~collide, axis=-1, keepdims=True)
-    neg_valid = (jnp.arange(num_negatives)[None, :] < num_valid)
+    # --- negatives: rejection-sample until exactly num_negatives per user
+    # (evaluator.pyx:106-111 parity — no silent shortfall on dense users).
+    neg_items, neg_valid = draw_negatives(
+        user_ids, hs, key, I, num_negatives, dtype=pos_pad.dtype)
 
     # --- candidate list: positives then negatives (L = P + num_negatives).
     cand = jnp.concatenate([pos_pad, neg_items], axis=-1)

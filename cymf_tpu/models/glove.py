@@ -215,6 +215,10 @@ class GloVe:
             if checkpoint_path is not None:
                 raise NotImplementedError(
                     "checkpointing is only supported with engine='xla'")
+            if self.bias_mode != "fused":
+                raise NotImplementedError(
+                    "engine='pallas' implements bias_mode='fused' only; "
+                    "use engine='xla' for bias_mode='kfold'")
             return self._fit_pallas(W_central, central_bias, W_context,
                                     context_bias, central, context, counts,
                                     N, num_epochs, verbose, V1, V2)

@@ -173,14 +173,6 @@ class RelMF(MFTrainerBase, PersistenceMixin):
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
-        start_epoch = 0
-        if resume and checkpoint_path is not None \
-                and __import__("os").path.exists(checkpoint_path):
-            from ..utils.checkpoint import load_checkpoint
-            self._state, last_epoch, _ = load_checkpoint(
-                checkpoint_path, self._state)
-            start_epoch = last_epoch + 1
-
         B = self.batch_size
         num_steps = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
         self._samples_per_epoch = num_steps * B
@@ -192,6 +184,15 @@ class RelMF(MFTrainerBase, PersistenceMixin):
             self.clip_value, U, I, num_steps, B, mode, binary)
         self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
                        "oh": opt.init(Hd)}
+        # resume AFTER _state exists, so the checkpointed pytree actually
+        # lands in the live state (bug fixed per round-1 VERDICT/ADVICE)
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
 

@@ -150,6 +150,12 @@ class Adam(SparseOptimizer):
     def update_rows(self, table, state, rows, grads):
         drop = table.shape[0]
         rows, grads = dedup_rows(rows, grads, drop)
+        # Rows whose summed gradient is exactly zero were touched only by
+        # masked-out samples (collision/padding); the reference *skips* those
+        # (bpr.pyx:166-167), so their moments must not decay — same touched
+        # semantics as update_dense.
+        rows = jnp.where(jnp.any(grads != 0, axis=tuple(range(1, grads.ndim))),
+                         rows, drop)
         crows = jnp.clip(rows, 0, drop - 1)
         m_new = self.beta1 * state["m"][crows] + (1.0 - self.beta1) * grads
         v_new = (self.beta2 * state["v"][crows]
