@@ -222,8 +222,18 @@ class BPR(MFTrainerBase, PersistenceMixin):
         Hd = self._pad_table(self.H)
         mode = choose_update_mode(self.update_mode, 3 * B,
                                   Wd.shape[0] + Hd.shape[0])
-        opt, epoch_jit = _bpr_epoch_jit(self.optimizer, self.learning_rate,
-                                        self.weight_decay, U, I, mode)
+        if mesh.num_devices > 1:
+            # explicit shard_map path: row-sharded tables, sharded batch,
+            # hand-placed O(batch) collectives — compute partitioning is
+            # guaranteed by construction (parallel/shard_step.py) and the
+            # negative stream is bitwise-identical to the 1-device path.
+            from ..parallel.shard_step import sharded_bpr_epoch
+            opt = make_optimizer(self.optimizer, self.learning_rate)
+            epoch_jit = sharded_bpr_epoch(mesh, opt, self.weight_decay, U, I)
+        else:
+            opt, epoch_jit = _bpr_epoch_jit(
+                self.optimizer, self.learning_rate, self.weight_decay,
+                U, I, mode)
         opt_w = opt.init(Wd)
         opt_h = opt.init(Hd)
         base_key = jax.random.PRNGKey(seed)

@@ -1,0 +1,149 @@
+"""Pallas sorted gradient accumulation — the TPU answer to scatter-add.
+
+Replaces the reference's per-sample Hogwild writes
+(`/root/reference/cymf/optimizer.pyx:52-58`) AND XLA's scatter-add, which
+is the measured bottleneck of the batch SGD step (40-90M rows/s on v5e,
+~11ns per scattered row — docs/PERF.md).  Design:
+
+* The trainer keeps each batch's target rows **sorted** (users are sorted
+  on the host; item/negative contributions are permuted into sorted order
+  by a host-computed permutation).  Sorted rows mean each sample belongs
+  to exactly one contiguous *window* of the table.
+* The kernel grid iterates over row windows of the packed gradient buffer
+  (``WROWS`` physical rows each).  The host — which knows the sorted row
+  array — prefetches each window's sample range as scalars.  Ranges are
+  aligned down to the DMA tile size; out-of-window samples swept in by the
+  alignment excluded themselves (their row falls outside the window, so
+  the one-hot match is all-zero).
+* Each window accumulates its samples in tiles: for each 128-sample group
+  the VPU builds the transposed one-hot ``Hot[w, b] = (rows[b] == base+w)``
+  (samples live on lanes, window rows on sublanes — no transpose or
+  reshape needed) and the MXU contracts ``window += Hot @ grads_group``.
+  Duplicates combine natively, there is no conflict serialization to pay
+  for, and throughput is MXU FLOPs instead of scatter issue rate.
+
+Numerical note: within a window the sum order differs from scatter order
+(matmul reduction), so results match ``.at[rows].add`` to float32
+round-off, not bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def window_ranges(rows_sorted: np.ndarray, r_pad: int, wrows: int,
+                  tile: int = 1024):
+    """Host-side: per-window tile-aligned [start, count) sample ranges.
+
+    ``rows_sorted`` must be ascending; padding sentinel rows must be
+    >= r_pad so no window's range covers them as matches.
+    """
+    nw = r_pad // wrows
+    bounds = np.arange(nw + 1, dtype=np.int64) * wrows
+    edges = np.searchsorted(rows_sorted, bounds).astype(np.int64)
+    starts = (edges[:-1] // tile) * tile
+    counts = edges[1:] - starts
+    return starts.astype(np.int32), counts.astype(np.int32)
+
+
+def pad_samples(rows_sorted: np.ndarray, sentinel: int, tile: int = 1024):
+    """Host-side: pad sorted rows to a tile multiple + one spare tile (the
+    kernel's DMA may read one tile past the last counted sample) and fold
+    to the (B/128, 128) lane-major layout the kernel expects."""
+    n = len(rows_sorted)
+    total = (-(-n // tile) + 1) * tile
+    out = np.full(total, sentinel, np.int32)
+    out[:n] = rows_sorted
+    return out.reshape(total // LANES, LANES)
+
+
+def _accum_kernel(starts_ref, counts_ref, rows_hbm, g_hbm, out_ref,
+                  rows_s, g_s, sems, *, wrows: int, tile: int):
+    w = pl.program_id(0)
+    start = starts_ref[w]
+    count = counts_ref[w]
+    base = w * wrows
+    groups = tile // LANES
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
+
+    def body(c, _):
+        off = start + c * tile
+        cp_r = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(off // LANES, groups), :], rows_s, sems.at[0])
+        cp_g = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(off, tile), :], g_s, sems.at[1])
+        cp_r.start()
+        cp_g.start()
+        cp_r.wait()
+        cp_g.wait()
+        acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+        for a in range(groups):
+            hot = (rows_s[a:a + 1, :] == w_iota).astype(g_s.dtype)
+            acc += jax.lax.dot_general(
+                hot, g_s[a * LANES:(a + 1) * LANES, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(count, tile), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
+                                             "interpret"))
+def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
+                 tile: int = 1024, interpret: bool = False):
+    """Accumulate ``g[b]`` into output row ``rows[b]``.
+
+    Args:
+      rows2d: int32[Bp/128, 128] ascending target physical rows in
+        lane-major fold (from :func:`pad_samples`; sample ``b`` lives at
+        ``[b // 128, b % 128]``).  Padding rows must be >= r_pad.
+      g: float32[Bp, 128] lane-placed gradients (padding rows' values are
+        never matched, so they may be anything).
+      starts/counts: int32[r_pad // wrows] tile-aligned window ranges from
+        :func:`window_ranges` (computed on the host, which already knows
+        the sorted rows).
+      r_pad: output rows — a multiple of ``wrows``.
+
+    Returns float32[r_pad, 128] with summed gradients (zeros elsewhere).
+    """
+    if r_pad % wrows:
+        raise ValueError("r_pad must be a multiple of wrows")
+    if tile % LANES or (tile // LANES) % 8:
+        raise ValueError("tile must be a multiple of 1024")
+    nw = r_pad // wrows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((wrows, LANES), lambda w, s, c: (w, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile // LANES, LANES), jnp.int32),
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_accum_kernel, wrows=wrows, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, counts, rows2d, g)
+
+
+def sorted_accum_reference(rows, g, r_pad: int):
+    """jnp scatter-add equivalent (for tests and non-TPU fallback)."""
+    return jnp.zeros((r_pad, LANES), g.dtype).at[rows].add(g, mode="drop")
