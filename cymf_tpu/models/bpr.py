@@ -132,7 +132,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
     def __init__(self, num_components: int = 20, learning_rate: float = 0.001,
                  optimizer: str = "adam", weight_decay: float = 0.01,
                  batch_size: int = 1024, update_mode: str = "auto",
-                 engine: str = "xla"):
+                 engine: str = "xla", packed: str = "auto"):
         """``engine``:
 
         * "xla" (default) — vectorized synchronous-minibatch epochs
@@ -156,8 +156,26 @@ class BPR(MFTrainerBase, PersistenceMixin):
         if engine not in ("xla", "pallas"):
             raise ValueError("engine must be 'xla' or 'pallas'")
         self.engine = engine
+        if packed not in ("auto", "on", "off"):
+            raise ValueError("packed must be auto|on|off")
+        self.packed = packed
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
+
+    def _use_packed(self, n_samples: int) -> bool:
+        """The packed single-chip fast path (host-sorted batches + Pallas
+        windowed accumulation, ``ops/packed_epoch.py``) applies when: one
+        device, XLA engine, K <= 128, and a real TPU backend (the kernel
+        runs in slow interpret mode elsewhere — tests opt in with
+        ``packed='on'``)."""
+        if self.packed == "off" or self.engine != "xla":
+            return False
+        if self.mesh.num_devices != 1 or self.num_components > 128:
+            return False
+        if self.packed == "on":
+            return True
+        import jax
+        return jax.default_backend() == "tpu" and n_samples >= 4096
 
     def fit(self, X, num_epochs: int = 10, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
@@ -195,8 +213,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
             return self._fit_pallas(X, users, positives, num_epochs, verbose,
                                     seed)
         N = len(users)
-        mesh_n = self.mesh.num_devices
-        B = self.mesh.pad_rows(min(self.batch_size, max(N, mesh_n)))
+        mesh = self.mesh
+        mesh_n = mesh.num_devices
+        use_packed = self._use_packed(N)
+        B = min(self.batch_size, max(N, mesh_n))
+        B = -(-B // 128) * 128 if use_packed else mesh.pad_rows(B)
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:
@@ -204,7 +225,6 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 [users, np.full(pad, PAD_USER, np.int32)])
             positives = np.concatenate([positives, np.zeros(pad, np.int32)])
 
-        mesh = self.mesh
         # sort each batch by user: enables indices_are_sorted on the W
         # scatter (~20% cheaper) without changing synchronous semantics
         u2 = users.reshape(S, B)
@@ -212,6 +232,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
         order = np.argsort(u2, axis=1, kind="stable")
         u2 = np.take_along_axis(u2, order, axis=1)
         i2 = np.take_along_axis(i2, order, axis=1)
+        if use_packed:
+            return self._fit_packed(X, u2, i2, num_epochs, verbose, seed,
+                                    checkpoint_path, checkpoint_every,
+                                    resume)
         u_steps = jax.device_put(u2, mesh.batch2d())
         i_steps = jax.device_put(i2, mesh.batch2d())
         coo = X.tocoo()
@@ -256,6 +280,94 @@ class BPR(MFTrainerBase, PersistenceMixin):
                           u_steps, i_steps, hs,
                           jnp.asarray(N, jnp.int32),
                           jax.random.fold_in(base_key, epoch))
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_packed(self, X, u2, i2, num_epochs, verbose, seed,
+                    checkpoint_path, checkpoint_every, resume):
+        """Single-chip fast path: packed tables + Pallas windowed
+        accumulation + host-side negative streams (ops/packed_epoch.py).
+        Identical update semantics to the XLA batch engine."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import packed as pk
+        from ..ops.packed_epoch import (packed_bpr_epoch, prep_epoch,
+                                        prep_static, unpack_device)
+        from ..ops.packed_epoch import make_packed_optimizer
+
+        U, I = X.shape
+        K = self.num_components
+        S, B = u2.shape
+        N = self._samples_per_epoch
+        self.last_loss = None
+        wrows_w, wrows_h = 256, 256
+        rw = pk.packed_rows(U, K, multiple=wrows_w)
+        rh = pk.packed_rows(I, K, multiple=wrows_h)
+        interpret = jax.default_backend() != "tpu"
+
+        winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+        coo = X.tocoo()
+        pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+
+        Wp = jnp.asarray(pk.pack_array(self.W, K, multiple=wrows_w))
+        Hp = jnp.asarray(pk.pack_array(self.H, K, multiple=wrows_h))
+        opt = make_packed_optimizer(self.optimizer, self.learning_rate)
+        ow, oh = opt.init(Wp), opt.init(Hp)
+
+        u2d = jnp.asarray(u2)
+        i2d = jnp.asarray(i2)
+        permi_d = jnp.asarray(permi)
+        winw_d = jnp.asarray(winw)
+        wini_d = jnp.asarray(wini)
+        n_valid = jnp.asarray(N, jnp.int32)
+
+        def publish():
+            self._state = {"W": unpack_device(Wp, K),
+                           "H": unpack_device(Hp, K),
+                           "owp": ow, "ohp": oh}
+
+        publish()
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            self._state, last_epoch, _ = load_checkpoint(
+                checkpoint_path, self._state)
+            start_epoch = last_epoch + 1
+            Wp = jnp.asarray(pk.pack_array(
+                np.asarray(self._state["W"])[:U], K, multiple=wrows_w))
+            Hp = jnp.asarray(pk.pack_array(
+                np.asarray(self._state["H"])[:I], K, multiple=wrows_h))
+            ow, oh = self._state["owp"], self._state["ohp"]
+
+        self._last_loss_dev = None
+
+        def epoch_fn(epoch):
+            nonlocal Wp, Hp, ow, oh
+            rng = np.random.default_rng((seed, epoch))
+            j2, mask, permj, winj = prep_epoch(
+                rng, u2, pos_keys, U, I, K, rh, wrows_h)
+            Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
+                Wp, Hp, ow, oh, u2d, i2d, jnp.asarray(j2),
+                jnp.asarray(mask), permi_d, jnp.asarray(permj),
+                winw_d, wini_d, jnp.asarray(winj), n_valid,
+                opt_name=self.optimizer, lr=self.learning_rate,
+                weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
+                wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+            publish()
 
         def snapshot_fn():
             return (self.W, self.H)

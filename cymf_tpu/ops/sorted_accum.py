@@ -66,43 +66,60 @@ def pad_samples(rows_sorted: np.ndarray, sentinel: int, tile: int = 1024):
     return out.reshape(total // LANES, LANES)
 
 
-def _accum_kernel(starts_ref, counts_ref, rows_hbm, g_hbm, out_ref,
-                  rows_s, g_s, sems, *, wrows: int, tile: int):
+def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
+                  g_s, sems, *, wrows: int, tile: int, precision):
+    """Per-window accumulation with double-buffered gradient DMA.
+
+    The sorted row array is small (4 bytes/sample) and lives fully in VMEM;
+    only the (tile, 128) gradient slabs stream from HBM, prefetched one
+    chunk ahead so the DMA latency hides under the one-hot matmuls.
+    """
     w = pl.program_id(0)
     start = starts_ref[w]
     count = counts_ref[w]
     base = w * wrows
     groups = tile // LANES
+    nchunks = pl.cdiv(count, tile)
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
 
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(start + c * tile, tile), :],
+            g_s.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
     def body(c, _):
-        off = start + c * tile
-        cp_r = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(off // LANES, groups), :], rows_s, sems.at[0])
-        cp_g = pltpu.make_async_copy(
-            g_hbm.at[pl.ds(off, tile), :], g_s, sems.at[1])
-        cp_r.start()
-        cp_g.start()
-        cp_r.wait()
-        cp_g.wait()
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(c + 1, 1 - slot).start()
+
+        dma(c, slot).wait()
+        rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
         acc = jnp.zeros(out_ref.shape, out_ref.dtype)
         for a in range(groups):
-            hot = (rows_s[a:a + 1, :] == w_iota).astype(g_s.dtype)
+            hot = (rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
             acc += jax.lax.dot_general(
-                hot, g_s[a * LANES:(a + 1) * LANES, :],
+                hot, g_s[slot, a * LANES:(a + 1) * LANES, :],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=precision)
         out_ref[:] += acc
         return 0
 
-    jax.lax.fori_loop(0, pl.cdiv(count, tile), body, 0)
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
-                 tile: int = 1024, interpret: bool = False):
+                 tile: int = 1024, interpret: bool = False,
+                 precision: str = "highest"):
     """Accumulate ``g[b]`` into output row ``rows[b]``.
 
     Args:
@@ -126,18 +143,19 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nw,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((wrows, LANES), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile // LANES, LANES), jnp.int32),
-            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((2, tile, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    prec = jax.lax.Precision(precision)
     return pl.pallas_call(
-        functools.partial(_accum_kernel, wrows=wrows, tile=tile),
+        functools.partial(_accum_kernel, wrows=wrows, tile=tile,
+                          precision=prec),
         out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -1,0 +1,173 @@
+"""Tests for the packed-table layout and the Pallas sorted accumulation
+kernel (interpret mode on CPU; the real-TPU path is exercised by bench.py
+and the packed BPR engine parity tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cymf_tpu.ops import packed as pk
+from cymf_tpu.ops.sorted_accum import (pad_samples, sorted_accum,
+                                       sorted_accum_reference, window_ranges)
+
+
+class TestPacked:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for N, K in [(100, 20), (7, 64), (50, 33), (12, 128), (30, 100)]:
+            t = rng.normal(size=(N, K)).astype(np.float32)
+            p = pk.pack_array(t, K)
+            assert p.shape[1] == 128 and p.shape[0] % 8 == 0
+            np.testing.assert_array_equal(pk.unpack_array(p, N, K), t)
+
+    def test_dead_lanes_zero(self):
+        t = np.ones((10, 20), np.float32)
+        p = pk.pack_array(t, 20)
+        assert (p[:, 120:] == 0).all()  # 6 slots * 20 lanes used
+
+    def test_extract_place_inverse(self):
+        rng = np.random.default_rng(1)
+        K, N, B = 20, 90, 64
+        t = rng.normal(size=(N, K)).astype(np.float32)
+        p = jnp.asarray(pk.pack_array(t, K))
+        rows = rng.integers(0, N, B)
+        phys, slot = pk.split_index(jnp.asarray(rows, jnp.int32), K)
+        got = pk.extract_rows(p[phys], slot, K)
+        np.testing.assert_array_equal(np.asarray(got), t[rows])
+        placed = pk.place_rows(got, slot, K)
+        # placing then extracting returns the original logical rows
+        back = pk.extract_rows(placed, slot, K)
+        np.testing.assert_array_equal(np.asarray(back), t[rows])
+        # every other lane is zero
+        s = pk.num_slots(K)
+        for b in range(8):
+            o = int(slot[b])
+            m = np.ones(128, bool)
+            m[o * K:(o + 1) * K] = False
+            assert (np.asarray(placed)[b][m] == 0).all()
+
+    def test_slot_mask_per_logical_row(self):
+        K = 20
+        g = np.zeros((8, 128), np.float32)
+        g[2, 45] = 1.0  # slot 2 of physical row 2 (lanes 40..59)
+        mask = np.asarray(pk.slot_mask(jnp.asarray(g), K))
+        assert mask[2, 40:60].all()
+        assert not mask[2, :40].any() and not mask[2, 60:].any()
+        assert not mask[0].any()
+        assert not mask[:, 120:].any()  # dead lanes never touched
+
+
+class TestSortedAccum:
+    @pytest.mark.parametrize("B,R,wrows", [(3000, 1024, 256),
+                                           (500, 2048, 512),
+                                           (10000, 512, 128)])
+    def test_matches_scatter(self, B, R, wrows):
+        rng = np.random.default_rng(B)
+        rows = np.sort(rng.integers(0, R - 5, B)).astype(np.int32)
+        g = rng.normal(size=(B, 128)).astype(np.float32)
+        starts, counts = window_ranges(rows, R, wrows)
+        rows2d = pad_samples(rows, R)
+        g_p = np.zeros((rows2d.size, 128), np.float32)
+        g_p[:B] = g
+        out = sorted_accum(jnp.asarray(rows2d), jnp.asarray(g_p),
+                           jnp.asarray(starts), jnp.asarray(counts),
+                           r_pad=R, wrows=wrows, interpret=True)
+        ref = sorted_accum_reference(jnp.asarray(rows), jnp.asarray(g), R)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_heavy_duplicates(self):
+        """All samples on 3 rows — duplicates must combine exactly."""
+        B, R = 4096, 512
+        rows = np.sort(np.random.default_rng(0).integers(100, 103, B)) \
+            .astype(np.int32)
+        g = np.ones((B, 128), np.float32)
+        starts, counts = window_ranges(rows, R, 128)
+        rows2d = pad_samples(rows, R)
+        g_p = np.zeros((rows2d.size, 128), np.float32)
+        g_p[:B] = g
+        out = np.asarray(sorted_accum(
+            jnp.asarray(rows2d), jnp.asarray(g_p), jnp.asarray(starts),
+            jnp.asarray(counts), r_pad=R, wrows=128, interpret=True))
+        counts_per_row = np.bincount(rows, minlength=R)
+        np.testing.assert_allclose(out[:, 0], counts_per_row)
+
+    def test_packed_epoch_matches_dense_reference(self):
+        """packed_bpr_epoch == an unpacked gather/scatter/sparse-Adam
+        replica on identical (u, i, j, mask) streams."""
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.packed_epoch import (packed_bpr_epoch, prep_epoch,
+                                               prep_static, unpack_device)
+
+        rng = np.random.default_rng(3)
+        U, I, K, B, S = 300, 200, 20, 512, 2
+        lr, wd = 0.02, 0.01
+        W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
+        H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
+        u2 = np.sort(rng.integers(0, U, (S, B)).astype(np.int32), axis=1)
+        i2 = rng.integers(0, I, (S, B)).astype(np.int32)
+
+        wrows = 128
+        rw = pk.packed_rows(U, K, multiple=wrows)
+        rh = pk.packed_rows(I, K, multiple=wrows)
+        winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows, wrows)
+        pos_keys = np.sort(
+            u2.ravel().astype(np.int64) * I + i2.ravel())
+        j2, mask, permj, winj = prep_epoch(
+            np.random.default_rng(9), u2, pos_keys, U, I, K, rh, wrows)
+
+        Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
+        Hp = jnp.asarray(pk.pack_array(H0, K, multiple=wrows))
+        from cymf_tpu.ops.packed_epoch import make_packed_optimizer
+        opt = make_packed_optimizer("adam", lr)
+        Wp2, Hp2, _, _, loss = packed_bpr_epoch(
+            Wp, Hp, opt.init(Wp), opt.init(Hp),
+            jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(j2),
+            jnp.asarray(mask), jnp.asarray(permi), jnp.asarray(permj),
+            jnp.asarray(winw), jnp.asarray(wini), jnp.asarray(winj),
+            jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
+            K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
+            interpret=True)
+        W_got = np.asarray(unpack_device(Wp2, K))[:U]
+        H_got = np.asarray(unpack_device(Hp2, K))[:I]
+
+        # ---- unpacked replica (sparse-Adam with touched mask, like
+        # optim.Adam.update_dense)
+        def adam_dense(T, m, v, gbuf):
+            touched = np.any(gbuf != 0, axis=1, keepdims=True)
+            m2 = np.where(touched, 0.9 * m + 0.1 * gbuf, m)
+            v2 = np.where(touched, 0.999 * v + 0.001 * gbuf**2, v)
+            delta = np.where(
+                touched, -lr * (m2 / 0.1) / (np.sqrt(v2 / 0.001) + 1e-8), 0)
+            return T + delta, m2, v2
+
+        W, H = W0.copy(), H0.copy()
+        mW = np.zeros_like(W); vW = np.zeros_like(W)
+        mH = np.zeros_like(H); vH = np.zeros_like(H)
+        for t in range(S):
+            u, i, j, mf = u2[t], i2[t], j2[t], mask[t][:, None]
+            wu, hi, hj = W[u], H[i], H[j]
+            x = np.sum(wu * (hi - hj), axis=1, keepdims=True)
+            sig = 1.0 / (1.0 + np.exp(x))
+            g_wu = -(sig * (hi - hj) - wd * wu) * mf
+            g_hi = -(sig * wu - wd * hi) * mf
+            g_hj = -(-sig * wu - wd * hj) * mf
+            gW = np.zeros_like(W); np.add.at(gW, u, g_wu)
+            gH = np.zeros_like(H); np.add.at(gH, i, g_hi)
+            np.add.at(gH, j, g_hj)
+            W, mW, vW = adam_dense(W, mW, vW, gW)
+            H, mH, vH = adam_dense(H, mH, vH, gH)
+
+        np.testing.assert_allclose(W_got, W, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(H_got, H, rtol=2e-4, atol=2e-5)
+
+    def test_empty_input(self):
+        rows = np.zeros(0, np.int32)
+        starts, counts = window_ranges(rows, 256, 128)
+        rows2d = pad_samples(rows, 256)
+        g_p = np.zeros((rows2d.size, 128), np.float32)
+        out = np.asarray(sorted_accum(
+            jnp.asarray(rows2d), jnp.asarray(g_p), jnp.asarray(starts),
+            jnp.asarray(counts), r_pad=256, wrows=128, interpret=True))
+        assert (out == 0).all()
