@@ -1,23 +1,27 @@
-"""Headline benchmark: BPR training throughput on ML-20M-shaped data.
+"""Benchmarks.  Prints ONE JSON line for the selected BENCH_MODEL.
 
-Prints ONE JSON line:
-  {"metric": "bpr_interactions_per_sec", "value": N, "unit":
-   "interactions/s", "vs_baseline": N / 5.4e6}
-
+Headline (default, what the driver records): BPR training throughput at
+ML-20M shapes (138,493 users x 26,744 items, 20M interactions, d=20 —
+matching the reference's README config dimension-for-dimension).
 Baseline: the reference's README quickstart rate — 98.46 epochs/s on
-ml-100k (55,375 train nnz) with d=20 and 8 OpenMP threads ~= 5.4M
-interaction-updates/s (BASELINE.md).  Same embedding dim (d=20) is used here
-for an apples-to-apples per-interaction comparison; shapes follow ML-20M
-(138,493 users x 26,744 items, 20M interactions).
+ml-100k with 8 OpenMP threads ~= 5.4M interaction-updates/s (BASELINE.md).
+
+All numbers are steady-state device rates with a true value-fetch barrier
+(`jax.device_get`) — `block_until_ready` does not reliably synchronize
+through the axon relay (CLAUDE.md).  Index streams are host-prepared and
+resident before timing, matching how the trainer pipelines epochs (and the
+reference, whose `sklearn.utils.shuffle` is likewise untimed outside the
+epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
+  BENCH_MODEL=bpr|bpr_xla|bpr_pallas|wmf|relmf|expomf|glove|evaluator|all
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
   BENCH_DIM=N       override embedding dim (default 20)
   BENCH_EPOCHS=N    timed epochs (default 3)
-  BENCH_MODEL=bpr|wmf|bpr_pallas
-                    secondary benchmarks: WMF ALS sweep time at ML-20M
-                    shapes, or the Pallas engine at ml-100k shapes
+
+BENCH_MODEL=all runs every mode and writes BENCH_ALL.json (one object per
+mode), still printing the headline line last.
 """
 
 from __future__ import annotations
@@ -30,12 +34,83 @@ import time
 import numpy as np
 
 
-def main():
-    model = os.environ.get("BENCH_MODEL", "bpr")
-    if model == "wmf":
-        return bench_wmf()
-    if model == "bpr_pallas":
-        return bench_bpr_pallas()
+def _bench_device(fn, fetch, reps):
+    """Times ``reps`` calls of ``fn`` with a value-fetch barrier."""
+    out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def bench_bpr_packed():
+    """Headline: the packed-table Pallas engine (the trainer's default
+    single-TPU path) at ML-20M shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.packed_epoch import (packed_bpr_epoch, prep_epoch,
+                                           prep_static)
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = 138493, 26744
+    nnz = 1_000_000 if small else 20_000_263
+    K = int(os.environ.get("BENCH_DIM", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    B = -(-B // 2048) * 2048
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    S = max(1, len(users) // B)
+    u2 = users[:S * B].reshape(S, B)
+    i2 = items[:S * B].reshape(S, B)
+    order = np.argsort(u2, axis=1, kind="stable")
+    u2 = np.take_along_axis(u2, order, axis=1)
+    i2 = np.take_along_axis(i2, order, axis=1)
+
+    wrows_w, wrows_h = 256, 512
+    rw = pk.packed_rows(U, K, multiple=wrows_w)
+    rh = pk.packed_rows(I, K, multiple=wrows_h)
+    winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+    pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+    j2, mask, permj, winj = prep_epoch(
+        np.random.default_rng(0), u2, pos_keys, U, I, K, rh, wrows_h)
+
+    rng = np.random.default_rng(0)
+    Wp = jnp.asarray(pk.pack_array(
+        rng.uniform(-0.1, 0.1, (U, K)) / K, K, multiple=wrows_w))
+    Hp = jnp.asarray(pk.pack_array(
+        rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows_h))
+    from cymf_tpu.ops.packed_epoch import make_packed_optimizer
+    opt = make_packed_optimizer("adam", 0.001)
+    ow, oh = opt.init(Wp), opt.init(Hp)
+    args = [jnp.asarray(x) for x in
+            (u2, i2, j2, mask, permi, permj, winw, wini, winj)]
+    n_valid = jnp.asarray(S * B, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    state = [Wp, Hp, ow, oh]
+
+    def run():
+        state[0], state[1], state[2], state[3], loss = packed_bpr_epoch(
+            state[0], state[1], state[2], state[3], *args, n_valid,
+            opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
+            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+        return loss
+
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    ips = S * B / dt
+    return {"metric": "bpr_interactions_per_sec", "value": round(ips, 1),
+            "unit": "interactions/s", "vs_baseline": round(ips / 5.4e6, 2)}
+
+
+def bench_bpr_xla():
+    """The portable XLA batch engine (scatter-based dense updates) at
+    ML-20M shapes — the multi-chip-capable path."""
     import jax
     import jax.numpy as jnp
 
@@ -55,27 +130,20 @@ def main():
     mesh = current_mesh()
     B = mesh.pad_rows(B)
     users, items = bench_interactions(U, I, nnz, seed=0)
-    S = nnz // B  # full batches only; per-epoch interactions = S * B
+    S = nnz // B
     users = users[:S * B].reshape(S, B)
     items = items[:S * B].reshape(S, B)
-    # per-batch user sort, exactly like the trainer (enables the
-    # indices_are_sorted fast scatter)
     order = np.argsort(users, axis=1, kind="stable")
     users = np.take_along_axis(users, order, axis=1)
     items = np.take_along_axis(items, order, axis=1)
 
-    # positive-set hash table for collision masking (same structure the
-    # real trainer uses)
     import jax.tree_util
-
     rng = np.random.default_rng(0)
-    Upad = mesh.pad_rows(U)
-    Ipad = mesh.pad_rows(I)
-    W = jax.device_put(
-        jnp.asarray(rng.uniform(-0.1, 0.1, (Upad, K)) / K, jnp.float32),
+    W = jax.device_put(jnp.asarray(
+        rng.uniform(-0.1, 0.1, (mesh.pad_rows(U), K)) / K, jnp.float32),
         mesh.table())
-    H = jax.device_put(
-        jnp.asarray(rng.uniform(-0.1, 0.1, (Ipad, K)) / K, jnp.float32),
+    H = jax.device_put(jnp.asarray(
+        rng.uniform(-0.1, 0.1, (mesh.pad_rows(I), K)) / K, jnp.float32),
         mesh.table())
     u_steps = jax.device_put(jnp.asarray(users), mesh.batch2d())
     i_steps = jax.device_put(jnp.asarray(items), mesh.batch2d())
@@ -83,7 +151,7 @@ def main():
         mesh.put_replicated, build_pair_hashset(users.ravel(), items.ravel()))
 
     opt = Adam(0.001)
-    opt_w, opt_h = opt.init(W), opt.init(H)
+    state = [W, H, opt.init(W), opt.init(H)]
     step = jax.jit(
         functools.partial(_bpr_epoch, optimizer=opt, weight_decay=0.01,
                           num_users=U, num_items=I, u_presorted=True),
@@ -91,36 +159,21 @@ def main():
     key = jax.random.PRNGKey(0)
     n_valid = jnp.asarray(S * B, jnp.int32)
 
-    # warmup (compile + one full epoch)
-    W, H, opt_w, opt_h, loss = step(W, H, opt_w, opt_h, u_steps, i_steps,
-                                    hs, n_valid, key)
-    float(jax.device_get(loss))  # real barrier (see note below)
+    def run():
+        state[0], state[1], state[2], state[3], loss = step(
+            state[0], state[1], state[2], state[3], u_steps, i_steps, hs,
+            n_valid, key)
+        return loss
 
-    t0 = time.perf_counter()
-    for e in range(epochs):
-        W, H, opt_w, opt_h, loss = step(W, H, opt_w, opt_h, u_steps,
-                                        i_steps, hs, n_valid,
-                                        jax.random.fold_in(key, e))
-    # NOTE: on remote-relay backends block_until_ready does not reliably
-    # synchronize; fetching the value is the only trustworthy barrier.
-    float(jax.device_get(loss))
-    dt = time.perf_counter() - t0
-
-    ips = epochs * S * B / dt
-    print(json.dumps({
-        "metric": "bpr_interactions_per_sec",
-        "value": round(ips, 1),
-        "unit": "interactions/s",
-        "vs_baseline": round(ips / 5.4e6, 2),
-    }))
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    ips = S * B / dt
+    return {"metric": "bpr_xla_interactions_per_sec", "value": round(ips, 1),
+            "unit": "interactions/s", "vs_baseline": round(ips / 5.4e6, 2)}
 
 
 def bench_wmf():
-    """ALS sweep time at ML-20M shapes (BASELINE.md: reference ~10 epochs/s
-    on the 200x smaller ml-100k)."""
-    import time
-
-    import jax
+    """ALS sweep rate at ML-20M shapes (reference: ~10 epochs/s on the
+    200x smaller ml-100k => ~554k interactions solved/s)."""
     from scipy import sparse
 
     from cymf_tpu.dataset.synthetic import bench_interactions
@@ -141,22 +194,117 @@ def bench_wmf():
     m.fit(X, num_epochs=epochs, verbose=False)
     _ = m.W  # device->host barrier
     dt = (time.perf_counter() - t0) / epochs
-    # baseline ALS work rate: ~10 epochs/s over ml-100k's 55,375 train nnz
-    # (BASELINE.md) = ~554k interactions solved per second
     rate = X.nnz / dt
-    print(json.dumps({
-        "metric": "wmf_als_interactions_per_sec",
-        "value": round(rate, 1),
-        "unit": "interactions/s (per full user+item sweep)",
-        "vs_baseline": round(rate / 553_750.0, 2),
-    }))
+    return {"metric": "wmf_als_interactions_per_sec",
+            "value": round(rate, 1),
+            "unit": "interactions/s (per full user+item sweep)",
+            "vs_baseline": round(rate / 553_750.0, 2)}
+
+
+def bench_relmf():
+    """RelMF sampled-cell rate at ml-1m shapes (22.4M cells/epoch).
+    Reference: ~3 epochs/s at ml-100k => ~4.8M cells/s."""
+    import jax
+
+    from cymf_tpu.dataset import SyntheticImplicitDataset
+    from cymf_tpu.models.relmf import RelMF
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = (1200, 800) if small else (6040, 3706)
+    data = SyntheticImplicitDataset(num_user=U, num_item=I, rank=8,
+                                    density=0.04, seed=0)
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    m = RelMF(num_components=20, batch_size=131072)
+    m.fit(data.train, num_epochs=1, verbose=False)  # compile
+    t0 = time.perf_counter()
+    m.fit(data.train, num_epochs=epochs, verbose=False)
+    _ = m.W
+    dt = (time.perf_counter() - t0) / epochs
+    rate = m._samples_per_epoch / dt
+    return {"metric": "relmf_cells_per_sec", "value": round(rate, 1),
+            "unit": "sampled cells/s", "vs_baseline": round(rate / 4.8e6, 2)}
+
+
+def bench_expomf():
+    """ExpoMF EM epoch rate at ml-1m shapes (the reference densifies U x I
+    and is impractical here; baseline = its ml-100k ALS-ish rate is not
+    comparable, so vs_baseline reports epochs/s directly)."""
+    from cymf_tpu.dataset import SyntheticImplicitDataset
+    from cymf_tpu.models.expomf import ExpoMF
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = (1200, 800) if small else (6040, 3706)
+    data = SyntheticImplicitDataset(num_user=U, num_item=I, rank=8,
+                                    density=0.04, seed=0)
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    m = ExpoMF(num_components=20)
+    m.fit(data.train, num_epochs=1, verbose=False)  # compile
+    t0 = time.perf_counter()
+    m.fit(data.train, num_epochs=epochs, verbose=False)
+    _ = m.W
+    dt = (time.perf_counter() - t0) / epochs
+    return {"metric": "expomf_epochs_per_sec_ml1m",
+            "value": round(1.0 / dt, 2), "unit": "epochs/s",
+            "vs_baseline": round(1.0 / dt, 2)}
+
+
+def bench_glove():
+    """GloVe triple rate: 50k vocab, ~3M co-occurrence triples, d=50."""
+    from scipy import sparse
+
+    from cymf_tpu.models.glove import GloVe
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    V = 5000 if small else 50000
+    nnz = 200_000 if small else 3_000_000
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, V, nnz)
+    c = rng.integers(0, V, nnz)
+    X = sparse.csr_matrix(
+        (rng.integers(1, 50, nnz).astype(np.float64), (r, c)), shape=(V, V))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    np.random.seed(0)
+    m = GloVe(num_components=50, batch_size=131072)
+    m.fit(X, num_epochs=1, verbose=False)  # compile
+    t0 = time.perf_counter()
+    m.fit(X, num_epochs=epochs, verbose=False)
+    _ = m.W
+    dt = (time.perf_counter() - t0) / epochs
+    rate = X.nnz / dt
+    return {"metric": "glove_triples_per_sec", "value": round(rate, 1),
+            "unit": "triples/s", "vs_baseline": float("nan")}
+
+
+def bench_evaluator():
+    """Sampled-negative evaluation rate at ml-1m shapes (the reference's
+    serial per-user Python loop is the epoch-validation bottleneck)."""
+    from scipy import sparse
+
+    from cymf_tpu.evaluation.evaluator import Evaluator
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = (1200, 800) if small else (6040, 3706)
+    rng = np.random.default_rng(0)
+    X_test = sparse.random(U, I, density=0.02, random_state=0, format="csr",
+                           data_rvs=lambda n: np.ones(n))
+    X_train = sparse.random(U, I, density=0.04, random_state=1, format="csr",
+                            data_rvs=lambda n: np.ones(n))
+    W = rng.normal(size=(U, 20))
+    H = rng.normal(size=(I, 20))
+    ev = Evaluator(X_test, X_train, k=5, num_negatives=100)
+    ev.evaluate(W, H)  # compile
+    reps = int(os.environ.get("BENCH_EPOCHS", "5"))
+    t0 = time.perf_counter()
+    for s in range(reps):
+        ev.evaluate(W, H, seed=s)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "evaluator_users_per_sec", "value": round(U / dt, 1),
+            "unit": "users/s", "vs_baseline": float("nan")}
 
 
 def bench_bpr_pallas():
-    """Pallas engine epoch rate at ml-100k shapes (reference README:
-    98.46 epochs/s on 8 CPU threads)."""
-    import time
-
+    """VMEM-resident per-sample Pallas engine at ml-100k shapes
+    (reference README: 98.46 epochs/s on 8 CPU threads)."""
     import jax
     import jax.numpy as jnp
 
@@ -179,25 +327,47 @@ def bench_bpr_pallas():
         * (np.asarray(i) != np.asarray(j)))
     interpret = jax.default_backend() != "tpu"
 
-    def run(Wp, Hp):
-        return bpr_pallas_epoch(Wp, Hp, u, i, j, mask, optimizer="adam",
-                                lr=0.01, wd=0.01, group=8,
-                                interpret=interpret)
+    state = [Wp, Hp]
 
-    Wp, Hp, loss = run(Wp, Hp)
-    float(jax.device_get(loss))
+    def run():
+        state[0], state[1], loss = bpr_pallas_epoch(
+            state[0], state[1], u, i, j, mask, optimizer="adam", lr=0.01,
+            wd=0.01, group=8, interpret=interpret)
+        return loss
+
     reps = int(os.environ.get("BENCH_EPOCHS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        Wp, Hp, loss = run(Wp, Hp)
-    float(jax.device_get(loss))
-    dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({
-        "metric": "bpr_pallas_epochs_per_sec_ml100k",
-        "value": round(1.0 / dt, 1),
-        "unit": "epochs/s",
-        "vs_baseline": round((1.0 / dt) / 98.46, 2),
-    }))
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), reps)
+    return {"metric": "bpr_pallas_epochs_per_sec_ml100k",
+            "value": round(1.0 / dt, 1), "unit": "epochs/s",
+            "vs_baseline": round((1.0 / dt) / 98.46, 2)}
+
+
+_MODES = {
+    "bpr": bench_bpr_packed,
+    "bpr_xla": bench_bpr_xla,
+    "bpr_pallas": bench_bpr_pallas,
+    "wmf": bench_wmf,
+    "relmf": bench_relmf,
+    "expomf": bench_expomf,
+    "glove": bench_glove,
+    "evaluator": bench_evaluator,
+}
+
+
+def main():
+    model = os.environ.get("BENCH_MODEL", "bpr")
+    if model == "all":
+        results = {}
+        for name, fn in _MODES.items():
+            try:
+                results[name] = fn()
+            except Exception as e:  # record, keep going
+                results[name] = {"metric": name, "error": str(e)[:400]}
+        with open("BENCH_ALL.json", "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results["bpr"]))
+        return
+    print(json.dumps(_MODES[model]()))
 
 
 if __name__ == "__main__":

@@ -67,12 +67,14 @@ def pad_samples(rows_sorted: np.ndarray, sentinel: int, tile: int = 1024):
 
 
 def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
-                  g_s, sems, *, wrows: int, tile: int, precision):
+                  g_s0, g_s1, sems, *, wrows: int, tile: int, precision):
     """Per-window accumulation with double-buffered gradient DMA.
 
     The sorted row array is small (4 bytes/sample) and lives fully in VMEM;
     only the (tile, 128) gradient slabs stream from HBM, prefetched one
-    chunk ahead so the DMA latency hides under the one-hot matmuls.
+    chunk ahead so the DMA latency hides under the one-hot matmuls.  The
+    two DMA slots are separate scratch refs indexed statically — a traced
+    slot index would force Mosaic to materialize a copy of the slab.
     """
     w = pl.program_id(0)
     start = starts_ref[w]
@@ -82,37 +84,53 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
     nchunks = pl.cdiv(count, tile)
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
+    slots = (g_s0, g_s1)
 
     def dma(c, slot):
         return pltpu.make_async_copy(
             g_hbm.at[pl.ds(start + c * tile, tile), :],
-            g_s.at[slot], sems.at[slot])
+            slots[slot], sems.at[slot])
+
+    def process(c, g_ref):
+        rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
+        acc = jax.lax.dot_general(
+            (rblock[0:1, :] == w_iota).astype(jnp.float32), g_ref[0:LANES, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision)
+        for a in range(1, groups):
+            hot = (rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
+            acc += jax.lax.dot_general(
+                hot, g_ref[a * LANES:(a + 1) * LANES, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+        out_ref[:] += acc
 
     @pl.when(nchunks > 0)
     def _():
         dma(0, 0).start()
 
-    def body(c, _):
-        slot = jax.lax.rem(c, 2)
+    def body(p, _):
+        c0 = p * 2
 
-        @pl.when(c + 1 < nchunks)
+        @pl.when(c0 + 1 < nchunks)
         def _():
-            dma(c + 1, 1 - slot).start()
+            dma(c0 + 1, 1).start()
 
-        dma(c, slot).wait()
-        rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
-        acc = jnp.zeros(out_ref.shape, out_ref.dtype)
-        for a in range(groups):
-            hot = (rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
-            acc += jax.lax.dot_general(
-                hot, g_s[slot, a * LANES:(a + 1) * LANES, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)
-        out_ref[:] += acc
+        dma(c0, 0).wait()
+        process(c0, g_s0)
+
+        @pl.when(c0 + 1 < nchunks)
+        def _():
+            @pl.when(c0 + 2 < nchunks)
+            def _():
+                dma(c0 + 2, 0).start()
+
+            dma(c0 + 1, 1).wait()
+            process(c0 + 1, g_s1)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    jax.lax.fori_loop(0, pl.cdiv(nchunks, 2), body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
@@ -148,7 +166,8 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         out_specs=pl.BlockSpec((wrows, LANES), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
