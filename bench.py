@@ -225,6 +225,56 @@ def bench_relmf():
             "unit": "sampled cells/s", "vs_baseline": round(rate / 4.8e6, 2)}
 
 
+def bench_relmf_ml20m():
+    """RelMF at ML-20M shapes (VERDICT r1 #7): compiles and times the real
+    scan at U x I = 3.7e9 cells/epoch, B=131072 (28,255 scan steps/epoch).
+    BENCH_SMALL times a 1,000-step slice of the same compiled scan."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import sparse
+
+    from cymf_tpu import config
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.models.relmf import _relmf_epoch_jit
+    from cymf_tpu.ops.hashset import build_pair_hashset
+
+    U, I = 138493, 26744
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    K = int(os.environ.get("BENCH_DIM", "20"))
+    full_steps = -(-(U * I) // B)
+    steps = 1000 if os.environ.get("BENCH_SMALL") == "1" else full_steps
+
+    users, items = bench_interactions(U, I, 20_000_263, seed=0)
+    X = sparse.csr_matrix(
+        (np.ones(len(users), np.float32), (users, items)), shape=(U, I))
+    coo = X.tocoo()
+    hs = build_pair_hashset(coo.row, coo.col)
+    col_mean = np.asarray(X.mean(axis=0)).flatten()
+    props = jnp.asarray(
+        (np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5)[:, None],
+        dtype=config.param_dtype())
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.uniform(-0.1, 0.1, (U, K)) / K, jnp.float32)
+    H = jnp.asarray(rng.uniform(-0.1, 0.1, (I, K)) / K, jnp.float32)
+    opt, epoch = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I, steps, B,
+                                  "dense", True)
+    state = [W, H, opt.init(W), opt.init(H)]
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        state[0], state[1], state[2], state[3], loss = epoch(
+            state[0], state[1], state[2], state[3], hs, props, key)
+        return loss
+
+    reps = int(os.environ.get("BENCH_EPOCHS", "1"))
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), reps)
+    rate = steps * B / dt
+    return {"metric": "relmf_ml20m_cells_per_sec", "value": round(rate, 1),
+            "unit": f"sampled cells/s ({steps} steps x {B})",
+            "vs_baseline": round(rate / 4.8e6, 2)}
+
+
 def bench_expomf():
     """ExpoMF EM epoch rate at ml-1m shapes (the reference densifies U x I
     and is impractical here; baseline = its ml-100k ALS-ish rate is not
@@ -348,6 +398,7 @@ _MODES = {
     "bpr_pallas": bench_bpr_pallas,
     "wmf": bench_wmf,
     "relmf": bench_relmf,
+    "relmf_ml20m": bench_relmf_ml20m,
     "expomf": bench_expomf,
     "glove": bench_glove,
     "evaluator": bench_evaluator,

@@ -93,18 +93,17 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
 
     def process(c, g_ref):
         rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
-        acc = jax.lax.dot_general(
-            (rblock[0:1, :] == w_iota).astype(jnp.float32), g_ref[0:LANES, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision)
-        for a in range(1, groups):
-            hot = (rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
-            acc += jax.lax.dot_general(
-                hot, g_ref[a * LANES:(a + 1) * LANES, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)
-        out_ref[:] += acc
+        # one deep contraction per tile: the per-group one-hots concatenate
+        # along lanes into (wrows, tile), then a single MXU dot against the
+        # (tile, 128) gradient slab — contraction depth `tile` keeps the
+        # systolic array full (8 separate 128-deep dots each paid MXU
+        # latency and ran ~3x slower).
+        hot = jnp.concatenate(
+            [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
+             for a in range(groups)], axis=1)
+        out_ref[:] += jax.lax.dot_general(
+            hot, g_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(nchunks > 0)
     def _():
