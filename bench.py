@@ -61,7 +61,7 @@ def bench_bpr_packed():
     nnz = 1_000_000 if small else 20_000_263
     K = int(os.environ.get("BENCH_DIM", "20"))
     B = int(os.environ.get("BENCH_BATCH", "131072"))
-    B = -(-B // 2048) * 2048
+    B = -(-B // 1024) * 1024
     epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
 
     users, items = bench_interactions(U, I, nnz, seed=0)
@@ -72,13 +72,13 @@ def bench_bpr_packed():
     u2 = np.take_along_axis(u2, order, axis=1)
     i2 = np.take_along_axis(i2, order, axis=1)
 
-    wrows_w, wrows_h = 256, 512
+    wrows_w, wrows_h = 128, 128
     rw = pk.packed_rows(U, K, multiple=wrows_w)
     rh = pk.packed_rows(I, K, multiple=wrows_h)
-    winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+    winw = prep_static(u2, K, rw, wrows_w)
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
-    j2, mask, permj, winj = prep_epoch(
-        np.random.default_rng(0), u2, pos_keys, U, I, K, rh, wrows_h)
+    j2, mask, permh, sloth, rowsh, winh = prep_epoch(
+        np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
 
     rng = np.random.default_rng(0)
     Wp = jnp.asarray(pk.pack_array(
@@ -89,7 +89,7 @@ def bench_bpr_packed():
     opt = make_packed_optimizer("adam", 0.001)
     ow, oh = opt.init(Wp), opt.init(Hp)
     args = [jnp.asarray(x) for x in
-            (u2, i2, j2, mask, permi, permj, winw, wini, winj)]
+            (u2, i2, j2, mask, permh, sloth, rowsh, winw, winh)]
     n_valid = jnp.asarray(S * B, jnp.int32)
     interpret = jax.default_backend() != "tpu"
 

@@ -313,12 +313,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
         S, B = u2.shape
         N = self._samples_per_epoch
         self.last_loss = None
-        wrows_w, wrows_h = 256, 256
+        wrows_w, wrows_h = 128, 128
         rw = pk.packed_rows(U, K, multiple=wrows_w)
         rh = pk.packed_rows(I, K, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+        winw = prep_static(u2, K, rw, wrows_w)
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
 
@@ -329,9 +329,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         u2d = jnp.asarray(u2)
         i2d = jnp.asarray(i2)
-        permi_d = jnp.asarray(permi)
         winw_d = jnp.asarray(winw)
-        wini_d = jnp.asarray(wini)
         n_valid = jnp.asarray(N, jnp.int32)
 
         def publish():
@@ -358,12 +356,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
         def epoch_fn(epoch):
             nonlocal Wp, Hp, ow, oh
             rng = np.random.default_rng((seed, epoch))
-            j2, mask, permj, winj = prep_epoch(
-                rng, u2, pos_keys, U, I, K, rh, wrows_h)
+            j2, mask, permh, sloth, rowsh, winh = prep_epoch(
+                rng, u2, i2, pos_keys, U, I, K, rh, wrows_h)
             Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
                 Wp, Hp, ow, oh, u2d, i2d, jnp.asarray(j2),
-                jnp.asarray(mask), permi_d, jnp.asarray(permj),
-                winw_d, wini_d, jnp.asarray(winj), n_valid,
+                jnp.asarray(mask), jnp.asarray(permh), jnp.asarray(sloth),
+                jnp.asarray(rowsh), winw_d, jnp.asarray(winh), n_valid,
                 opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)

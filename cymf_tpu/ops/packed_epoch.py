@@ -35,7 +35,7 @@ import numpy as np
 from . import packed as pk
 from .sorted_accum import sorted_accum, window_ranges
 
-TILE = 2048
+TILE = 1024
 
 
 def _fold_rows(phys, tile=TILE):
@@ -117,20 +117,25 @@ def make_packed_optimizer(name, lr):
 
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
-                              "rh", "wrows_w", "wrows_h", "interpret"))
+                              "rh", "wrows_w", "wrows_h", "interpret",
+                              "precision"))
 def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
-                     permi_steps, permj_steps, winw, wini, winj, n_valid, *,
-                     opt_name, lr, weight_decay, K, rw, rh,
-                     wrows_w=256, wrows_h=256, interpret=False):
+                     permh_steps, sloth_steps, rowsh_steps, winw, winh,
+                     n_valid, *, opt_name, lr, weight_decay, K, rw, rh,
+                     wrows_w=128, wrows_h=128, interpret=False,
+                     precision="highest"):
     """One epoch over S pre-sorted minibatches (scan).  All index streams,
     masks, permutations and window ranges are host-prepared device arrays:
 
-      u_steps int32[S, B]       users, ascending within each step
-      i_steps int32[S, B]       positives, aligned with u order
-      j_steps int32[S, B]       negatives (host-drawn), aligned with u
-      mask_steps f32[S, B]      1 = live sample (in-data, no collision)
-      permi/permj int32[S, B]   permutations sorting i (resp. j) physical
-      winw/wini/winj int32[S, 2, NW]  sorted_accum window (starts; counts)
+      u_steps int32[S, B]        users, ascending within each step
+      i_steps int32[S, B]        positives, aligned with u order
+      j_steps int32[S, B]        negatives (host-drawn), aligned with u
+      mask_steps f32[S, B]       1 = live sample (in-data, no collision)
+      permh_steps int32[S, 2B]   permutation sorting concat(i, j) by
+                                 physical row (H-side gradient order)
+      sloth_steps int32[S, 2B]   slot of each permuted H contribution
+      rowsh_steps int32[S, (2B+TILE)/128, 128]  folded sorted physical rows
+      winw/winh int32[S, 2, NW]  sorted_accum window (starts; counts)
     """
     opt = make_packed_optimizer(opt_name, lr)
     wd = jnp.float32(weight_decay)
@@ -138,14 +143,12 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
 
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
-        u, i, j, mf, permi, permj, ww, wi, wj = xs
+        u, i, j, mf, permh, sloth, rowsh, ww, wh = xs
         phys_u, slot_u = u // s, u % s
-        phys_i, slot_i = i // s, i % s
-        phys_j, slot_j = j // s, j % s
 
         wu = pk.extract_rows(Wp[phys_u], slot_u, K)
-        hi = pk.extract_rows(Hp[phys_i], slot_i, K)
-        hj = pk.extract_rows(Hp[phys_j], slot_j, K)
+        hi = pk.extract_rows(Hp[i // s], i % s, K)
+        hj = pk.extract_rows(Hp[j // s], j % s, K)
 
         x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
         sig = jax.nn.sigmoid(-x)
@@ -162,28 +165,25 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
         gW = pk.place_rows(g_wu, slot_u, K)
         gbw = sorted_accum(_fold_rows(phys_u), _pad_g(gW), ww[0], ww[1],
                            r_pad=rw, wrows=wrows_w, tile=TILE,
-                           interpret=interpret)
+                           interpret=interpret, precision=precision)
         Wp, ow = opt.update(Wp, ow, gbw, K)
 
-        # --- H: permute each contribution into its sorted order
-        i_s = i[permi]
-        gHi = pk.place_rows(g_hi[permi], i_s % s, K)
-        gbi = sorted_accum(_fold_rows(i_s // s), _pad_g(gHi),
-                           wi[0], wi[1], r_pad=rh, wrows=wrows_h,
-                           tile=TILE, interpret=interpret)
-        j_s = j[permj]
-        gHj = pk.place_rows(g_hj[permj], j_s % s, K)
-        gbj = sorted_accum(_fold_rows(j_s // s), _pad_g(gHj),
-                           wj[0], wj[1], r_pad=rh, wrows=wrows_h,
-                           tile=TILE, interpret=interpret)
-        Hp, oh = opt.update(Hp, oh, gbi + gbj, K)
+        # --- H: one fused accumulate over both contributions, permuted
+        # into sorted physical-row order (permutation + sorted rows + slots
+        # are host-prepared; j changes per epoch so this is per-epoch prep)
+        g_cat = jnp.concatenate([g_hi, g_hj])[permh]
+        gH = pk.place_rows(g_cat, sloth, K)
+        gbh = sorted_accum(rowsh, _pad_g(gH), wh[0], wh[1],
+                           r_pad=rh, wrows=wrows_h, tile=TILE,
+                           interpret=interpret, precision=precision)
+        Hp, oh = opt.update(Hp, oh, gbh, K)
         return (Wp, Hp, ow, oh, loss_acc + jnp.sum(loss)), None
 
     init = (Wp, Hp, ow, oh, jnp.zeros((), jnp.float32))
     (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
         step, init,
-        (u_steps, i_steps, j_steps, mask_steps, permi_steps, permj_steps,
-         winw, wini, winj))
+        (u_steps, i_steps, j_steps, mask_steps, permh_steps, sloth_steps,
+         rowsh_steps, winw, winh))
     return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
@@ -191,31 +191,25 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
 # host-side preparation
 # ---------------------------------------------------------------------------
 
-def prep_static(u2: np.ndarray, i2: np.ndarray, K: int, rw: int, rh: int,
-                wrows_w: int, wrows_h: int, tile: int = TILE):
-    """Once per fit: per-step W windows (u is pre-sorted) and the item-side
-    sort permutation + windows (batch composition is epoch-invariant)."""
+def prep_static(u2: np.ndarray, K: int, rw: int, wrows_w: int,
+                tile: int = TILE):
+    """Once per fit: per-step W-side windows (u is pre-sorted)."""
     S, B = u2.shape
     s = pk.num_slots(K)
     winw = np.empty((S, 2, rw // wrows_w), np.int32)
-    wini = np.empty((S, 2, rh // wrows_h), np.int32)
-    permi = np.empty((S, B), np.int32)
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
         winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
-        pi = i2[t] // s
-        perm = np.argsort(pi, kind="stable").astype(np.int32)
-        permi[t] = perm
-        wini[t, 0], wini[t, 1] = window_ranges(pi[perm], rh, wrows_h, tile)
-    return winw, wini, permi
+    return winw
 
 
-def prep_epoch(rng: np.random.Generator, u2: np.ndarray, pos_keys: np.ndarray,
-               num_users: int, num_items: int, K: int, rh: int,
-               wrows_h: int, tile: int = TILE):
-    """Once per epoch: negative draws, rejection+padding mask, j-side sort
-    permutation and windows.  Mirrors `bpr.pyx:165-167`: one uniform draw
-    per interaction, collisions with known positives masked out."""
+def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
+               pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
+               rh: int, wrows_h: int, tile: int = TILE):
+    """Once per epoch: negative draws, rejection+padding mask, and the
+    H-side sort permutation over concat(i, j) contributions + slot/row
+    streams + windows.  Mirrors `bpr.pyx:165-167`: one uniform draw per
+    interaction, collisions with known positives masked out."""
     S, B = u2.shape
     s = pk.num_slots(K)
     j2 = rng.integers(0, num_items, (S, B)).astype(np.int32)
@@ -227,11 +221,21 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, pos_keys: np.ndarray,
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
     mask = (in_data & ~collide).astype(np.float32)
-    permj = np.empty((S, B), np.int32)
-    winj = np.empty((S, 2, rh // wrows_h), np.int32)
+
+    folded = (2 * B + tile) // 128
+    permh = np.empty((S, 2 * B), np.int32)
+    sloth = np.empty((S, 2 * B), np.int32)
+    rowsh = np.empty((S, folded, 128), np.int32)
+    winh = np.empty((S, 2, rh // wrows_h), np.int32)
     for t in range(S):
-        pj = j2[t] // s
-        perm = np.argsort(pj, kind="stable").astype(np.int32)
-        permj[t] = perm
-        winj[t, 0], winj[t, 1] = window_ranges(pj[perm], rh, wrows_h, tile)
-    return j2, mask, permj, winj
+        cat = np.concatenate([i2[t], j2[t]])
+        ph = cat // s
+        perm = np.argsort(ph, kind="stable").astype(np.int32)
+        permh[t] = perm
+        cat_sorted = cat[perm]
+        sloth[t] = cat_sorted % s
+        ph_sorted = ph[perm]
+        winh[t, 0], winh[t, 1] = window_ranges(ph_sorted, rh, wrows_h, tile)
+        pad = np.full(folded * 128 - 2 * B, np.iinfo(np.int32).max, np.int32)
+        rowsh[t] = np.concatenate([ph_sorted, pad]).reshape(folded, 128)
+    return j2, mask, permh, sloth, rowsh, winh

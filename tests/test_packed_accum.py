@@ -111,11 +111,11 @@ class TestSortedAccum:
         wrows = 128
         rw = pk.packed_rows(U, K, multiple=wrows)
         rh = pk.packed_rows(I, K, multiple=wrows)
-        winw, wini, permi = prep_static(u2, i2, K, rw, rh, wrows, wrows)
+        winw = prep_static(u2, K, rw, wrows)
         pos_keys = np.sort(
             u2.ravel().astype(np.int64) * I + i2.ravel())
-        j2, mask, permj, winj = prep_epoch(
-            np.random.default_rng(9), u2, pos_keys, U, I, K, rh, wrows)
+        j2, mask, permh, sloth, rowsh, winh = prep_epoch(
+            np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
 
         Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
         Hp = jnp.asarray(pk.pack_array(H0, K, multiple=wrows))
@@ -124,8 +124,8 @@ class TestSortedAccum:
         Wp2, Hp2, _, _, loss = packed_bpr_epoch(
             Wp, Hp, opt.init(Wp), opt.init(Hp),
             jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(j2),
-            jnp.asarray(mask), jnp.asarray(permi), jnp.asarray(permj),
-            jnp.asarray(winw), jnp.asarray(wini), jnp.asarray(winj),
+            jnp.asarray(mask), jnp.asarray(permh), jnp.asarray(sloth),
+            jnp.asarray(rowsh), jnp.asarray(winw), jnp.asarray(winh),
             jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
             K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
             interpret=True)
