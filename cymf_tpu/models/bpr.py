@@ -355,9 +355,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         def epoch_fn(epoch):
             nonlocal Wp, Hp, ow, oh
+            # the C++ prep (OpenMP counting-sort pipeline, ~20x numpy) is
+            # used when built; both are deterministic per (seed, epoch)
             rng = np.random.default_rng((seed, epoch))
             j2, mask, permh, sloth, rowsh, winh = prep_epoch(
-                rng, u2, i2, pos_keys, U, I, K, rh, wrows_h)
+                rng, u2, i2, pos_keys, U, I, K, rh, wrows_h,
+                native_seed=seed * 1_000_003 + epoch)
             Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
                 Wp, Hp, ow, oh, u2d, i2d, jnp.asarray(j2),
                 jnp.asarray(mask), jnp.asarray(permh), jnp.asarray(sloth),

@@ -205,13 +205,37 @@ def prep_static(u2: np.ndarray, K: int, rw: int, wrows_w: int,
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
-               rh: int, wrows_h: int, tile: int = TILE):
+               rh: int, wrows_h: int, tile: int = TILE, native_seed=None):
     """Once per epoch: negative draws, rejection+padding mask, and the
     H-side sort permutation over concat(i, j) contributions + slot/row
     streams + windows.  Mirrors `bpr.pyx:165-167`: one uniform draw per
-    interaction, collisions with known positives masked out."""
+    interaction, collisions with known positives masked out.
+
+    When the C++ extension is built and ``native_seed`` is given, the whole
+    pass runs in ``_native.bpr_prep_epoch`` (OpenMP over steps, counting
+    sort) — the TPU-era analogue of the reference's native host layer.  The
+    native and numpy paths draw from different (equally uniform) streams;
+    each is deterministic in its seed.
+    """
     S, B = u2.shape
     s = pk.num_slots(K)
+    if native_seed is not None:
+        from ..native import HAVE_NATIVE, _native
+        if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch"):
+            u2c = np.ascontiguousarray(u2, np.int32)
+            i2c = np.ascontiguousarray(i2, np.int32)
+            keys = np.ascontiguousarray(pos_keys, np.int64)
+            jb, mb, pb, sb, rb, wb = _native.bpr_prep_epoch(
+                u2c, i2c, keys, S, B, num_users, num_items, s, rh,
+                wrows_h, tile, int(native_seed))
+            folded = (2 * B + tile) // 128
+            return (np.frombuffer(jb, np.int32).reshape(S, B),
+                    np.frombuffer(mb, np.float32).reshape(S, B),
+                    np.frombuffer(pb, np.int32).reshape(S, 2 * B),
+                    np.frombuffer(sb, np.int32).reshape(S, 2 * B),
+                    np.frombuffer(rb, np.int32).reshape(S, folded, 128),
+                    np.frombuffer(wb, np.int32).reshape(
+                        S, 2, rh // wrows_h))
     j2 = rng.integers(0, num_items, (S, B)).astype(np.int32)
     u64 = u2.astype(np.int64)
     in_data = u64 < num_users

@@ -23,7 +23,8 @@ setup(
         Extension(
             "cymf_tpu.native._native",
             sources=["cymf_tpu/native/_native.cpp"],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=["-O3", "-std=c++17", "-fopenmp"],
+            extra_link_args=["-fopenmp"],
             optional=True,
         ),
     ],

@@ -1,0 +1,70 @@
+"""Native (C++/OpenMP) BPR epoch-prep vs structural invariants and the
+numpy fallback.  The two draw different RNG streams, so equality is
+checked on everything EXCEPT the draws: permutation validity, sortedness,
+slot/row consistency, rejection-mask correctness, window ranges."""
+
+import numpy as np
+import pytest
+
+from cymf_tpu.native import HAVE_NATIVE
+from cymf_tpu.ops import packed as pk
+from cymf_tpu.ops.packed_epoch import prep_epoch
+from cymf_tpu.ops.sorted_accum import window_ranges
+
+U, I, K, B, S = 3000, 900, 20, 2048, 3
+
+
+def _inputs(seed=0):
+    s = pk.num_slots(K)
+    rh = pk.packed_rows(I, K, 128)
+    rng = np.random.default_rng(seed)
+    u2 = np.sort(rng.integers(0, U, (S, B)).astype(np.int32), axis=1)
+    i2 = rng.integers(0, I, (S, B)).astype(np.int32)
+    pos_keys = np.sort(rng.integers(0, U * I, 20_000).astype(np.int64))
+    return s, rh, u2, i2, pos_keys
+
+
+def _validate(out, u2, i2, pos_keys, s, rh):
+    j2, mask, permh, sloth, rowsh, winh = out
+    for t in range(S):
+        cat = np.concatenate([i2[t], j2[t]])
+        perm = permh[t]
+        assert np.array_equal(np.sort(perm), np.arange(2 * B))
+        ph_sorted = cat[perm] // s
+        assert (np.diff(ph_sorted) >= 0).all()
+        assert (rowsh[t].ravel()[:2 * B] == ph_sorted).all()
+        assert (sloth[t] == cat[perm] % s).all()
+        assert (rowsh[t].ravel()[2 * B:] == np.iinfo(np.int32).max).all()
+        keys = u2[t].astype(np.int64) * I + j2[t]
+        idx = np.minimum(np.searchsorted(pos_keys, keys), len(pos_keys) - 1)
+        collide = pos_keys[idx] == keys
+        expect = ((u2[t] < U) & ~collide).astype(np.float32)
+        assert (mask[t] == expect).all()
+        st, ct = window_ranges(ph_sorted, rh, 128, 1024)
+        assert (winh[t, 0] == st).all() and (winh[t, 1] == ct).all()
+
+
+def test_numpy_prep_invariants():
+    s, rh, u2, i2, pos_keys = _inputs()
+    out = prep_epoch(np.random.default_rng(5), u2, i2, pos_keys, U, I, K,
+                     rh, 128)
+    _validate(out, u2, i2, pos_keys, s, rh)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_prep_invariants():
+    s, rh, u2, i2, pos_keys = _inputs()
+    out = prep_epoch(None, u2, i2, pos_keys, U, I, K, rh, 128,
+                     native_seed=5)
+    _validate(out, u2, i2, pos_keys, s, rh)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_prep_deterministic():
+    _, rh, u2, i2, pos_keys = _inputs()
+    a = prep_epoch(None, u2, i2, pos_keys, U, I, K, rh, 128, native_seed=9)
+    b = prep_epoch(None, u2, i2, pos_keys, U, I, K, rh, 128, native_seed=9)
+    c = prep_epoch(None, u2, i2, pos_keys, U, I, K, rh, 128, native_seed=10)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    assert not np.array_equal(a[0], c[0])
