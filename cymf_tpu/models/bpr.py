@@ -217,7 +217,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
         mesh_n = mesh.num_devices
         use_packed = self._use_packed(N)
         B = min(self.batch_size, max(N, mesh_n))
-        B = -(-B // 128) * 128 if use_packed else mesh.pad_rows(B)
+        B = -(-B // 1024) * 1024 if use_packed else mesh.pad_rows(B)
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:

@@ -127,7 +127,7 @@ static PyObject* bpr_prep_epoch(PyObject*, PyObject* args) {
       keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
 
   const int64_t B2 = 2 * B;
-  const int64_t folded = (B2 + tile) / 128;
+  const int64_t folded = B2 / 128;  // B2 is a tile multiple
   const int64_t nw = rh / wrows;
   PyObject* j_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
   PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);

@@ -39,14 +39,10 @@ TILE = 1024
 
 
 def _fold_rows(phys, tile=TILE):
-    """int32[B] -> lane-major int32[(B+tile)/128, 128] with sentinel pad."""
-    B = phys.shape[0]
-    pad = jnp.full((tile,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    return jnp.concatenate([phys, pad]).reshape(-1, 128)
-
-
-def _pad_g(g, tile=TILE):
-    return jnp.concatenate([g, jnp.zeros((tile, 128), g.dtype)])
+    """int32[B] -> lane-major int32[B/128, 128] (B must be a multiple of
+    the DMA tile — the batch is rounded up to one by the trainer, so no
+    per-step padding copy is ever materialized)."""
+    return phys.reshape(-1, 128)
 
 
 def unpack_device(Tp, K: int):
@@ -134,7 +130,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
       permh_steps int32[S, 2B]   permutation sorting concat(i, j) by
                                  physical row (H-side gradient order)
       sloth_steps int32[S, 2B]   slot of each permuted H contribution
-      rowsh_steps int32[S, (2B+TILE)/128, 128]  folded sorted physical rows
+      rowsh_steps int32[S, 2B/128, 128]  folded sorted physical rows
       winw/winh int32[S, 2, NW]  sorted_accum window (starts; counts)
     """
     opt = make_packed_optimizer(opt_name, lr)
@@ -163,7 +159,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
 
         # --- W: u already sorted
         gW = pk.place_rows(g_wu, slot_u, K)
-        gbw = sorted_accum(_fold_rows(phys_u), _pad_g(gW), ww[0], ww[1],
+        gbw = sorted_accum(_fold_rows(phys_u), gW, ww[0], ww[1],
                            r_pad=rw, wrows=wrows_w, tile=TILE,
                            interpret=interpret, precision=precision)
         Wp, ow = opt.update(Wp, ow, gbw, K)
@@ -173,7 +169,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
         # are host-prepared; j changes per epoch so this is per-epoch prep)
         g_cat = jnp.concatenate([g_hi, g_hj])[permh]
         gH = pk.place_rows(g_cat, sloth, K)
-        gbh = sorted_accum(rowsh, _pad_g(gH), wh[0], wh[1],
+        gbh = sorted_accum(rowsh, gH, wh[0], wh[1],
                            r_pad=rh, wrows=wrows_h, tile=TILE,
                            interpret=interpret, precision=precision)
         Hp, oh = opt.update(Hp, oh, gbh, K)
@@ -228,7 +224,7 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
             jb, mb, pb, sb, rb, wb = _native.bpr_prep_epoch(
                 u2c, i2c, keys, S, B, num_users, num_items, s, rh,
                 wrows_h, tile, int(native_seed))
-            folded = (2 * B + tile) // 128
+            folded = 2 * B // 128
             return (np.frombuffer(jb, np.int32).reshape(S, B),
                     np.frombuffer(mb, np.float32).reshape(S, B),
                     np.frombuffer(pb, np.int32).reshape(S, 2 * B),
@@ -246,7 +242,7 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
         np.zeros_like(keys, bool)
     mask = (in_data & ~collide).astype(np.float32)
 
-    folded = (2 * B + tile) // 128
+    folded = 2 * B // 128
     permh = np.empty((S, 2 * B), np.int32)
     sloth = np.empty((S, 2 * B), np.int32)
     rowsh = np.empty((S, folded, 128), np.int32)

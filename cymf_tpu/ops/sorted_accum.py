@@ -56,11 +56,13 @@ def window_ranges(rows_sorted: np.ndarray, r_pad: int, wrows: int,
 
 
 def pad_samples(rows_sorted: np.ndarray, sentinel: int, tile: int = 1024):
-    """Host-side: pad sorted rows to a tile multiple + one spare tile (the
-    kernel's DMA may read one tile past the last counted sample) and fold
-    to the (B/128, 128) lane-major layout the kernel expects."""
+    """Host-side: pad sorted rows up to a tile multiple (sentinel >= r_pad
+    so padding never matches a window) and fold to the (B/128, 128)
+    lane-major layout the kernel expects.  No spare tile is needed: window
+    starts are tile-aligned and the padded length is a tile multiple, so
+    every DMA offset satisfies off + tile <= B."""
     n = len(rows_sorted)
-    total = (-(-n // tile) + 1) * tile
+    total = -(-max(n, 1) // tile) * tile
     out = np.full(total, sentinel, np.int32)
     out[:n] = rows_sorted
     return out.reshape(total // LANES, LANES)
@@ -142,7 +144,9 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
     Args:
       rows2d: int32[Bp/128, 128] ascending target physical rows in
         lane-major fold (from :func:`pad_samples`; sample ``b`` lives at
-        ``[b // 128, b % 128]``).  Padding rows must be >= r_pad.
+        ``[b // 128, b % 128]``).  Bp must be a multiple of ``tile``
+        (window starts are tile-aligned, so no DMA can then overrun) and
+        padding rows must be >= r_pad.
       g: float32[Bp, 128] lane-placed gradients (padding rows' values are
         never matched, so they may be anything).
       starts/counts: int32[r_pad // wrows] tile-aligned window ranges from
@@ -156,6 +160,8 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         raise ValueError("r_pad must be a multiple of wrows")
     if tile % LANES or (tile // LANES) % 8:
         raise ValueError("tile must be a multiple of 1024")
+    if (rows2d.shape[0] * LANES) % tile or g.shape[0] % tile:
+        raise ValueError("sample count must be padded to a tile multiple")
     nw = r_pad // wrows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -101,7 +101,7 @@ class TestSortedAccum:
                                                prep_static, unpack_device)
 
         rng = np.random.default_rng(3)
-        U, I, K, B, S = 300, 200, 20, 512, 2
+        U, I, K, B, S = 300, 200, 20, 1024, 2  # B must be a TILE multiple
         lr, wd = 0.02, 0.01
         W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
         H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
