@@ -318,7 +318,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
         rh = pk.packed_rows(I, K, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        winw = prep_static(u2, K, rw, wrows_w)
+        winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w,
+                                            wrows_h)
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
 
@@ -329,6 +330,9 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         u2d = jnp.asarray(u2)
         i2d = jnp.asarray(i2)
+        si_d = jnp.asarray(si)
+        rowsi_d = jnp.asarray(rowsi)
+        wini_d = jnp.asarray(wini)
         winw_d = jnp.asarray(winw)
         n_valid = jnp.asarray(N, jnp.int32)
 
@@ -358,13 +362,13 @@ class BPR(MFTrainerBase, PersistenceMixin):
             # the C++ prep (OpenMP counting-sort pipeline, ~20x numpy) is
             # used when built; both are deterministic per (seed, epoch)
             rng = np.random.default_rng((seed, epoch))
-            j2, mask, permh, sloth, rowsh, winh = prep_epoch(
+            j2, mask, sj, rowsj, winj = prep_epoch(
                 rng, u2, i2, pos_keys, U, I, K, rh, wrows_h,
                 native_seed=seed * 1_000_003 + epoch)
             Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
-                Wp, Hp, ow, oh, u2d, i2d, jnp.asarray(j2),
-                jnp.asarray(mask), jnp.asarray(permh), jnp.asarray(sloth),
-                jnp.asarray(rowsh), winw_d, jnp.asarray(winh), n_valid,
+                Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
+                jnp.asarray(j2), jnp.asarray(mask), jnp.asarray(sj),
+                jnp.asarray(rowsj), jnp.asarray(winj), winw_d, n_valid,
                 opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)

@@ -99,53 +99,50 @@ static PyObject* cooccurrence(PyObject* /*self*/, PyObject* args) {
   return Py_BuildValue("(NN)", keys_bytes, vals_bytes);
 }
 
-// bpr_prep_epoch: the packed BPR engine's per-epoch host pipeline
-// (negative draws, positive-set rejection, H-side sort + windows) as one
+// bpr_prep_epoch_v2: the fused packed BPR engine's per-epoch host pipeline
+// (negative draws, positive-set rejection, j-side sort + windows) as one
 // OpenMP-parallel pass.  Mirrors ops/packed_epoch.prep_epoch (the numpy
-// fallback); the sort is a counting sort over the rh physical rows (O(2B)
-// per step, stable), and window ranges fall out of its prefix sums.
+// fallback); the sort is a counting sort over the rh physical rows (O(B)
+// per step, stable), and window ranges fall out of its prefix sums.  The
+// i-side prep is per-fit (batch composition is fixed across epochs) and
+// stays in numpy.
 //
-//   bpr_prep_epoch(u2 int32[S*B], i2 int32[S*B], pos_keys int64[nnz],
-//                  S, B, U, I, slots, rh, wrows, tile, seed)
-//     -> (j2, mask_f32, permh, sloth, rowsh, winh) raw buffers
+//   bpr_prep_epoch_v2(u2 int32[S*B], pos_keys int64[nnz],
+//                     S, B, U, I, slots, rh, wrows, tile, seed)
+//     -> (j2, mask_f32, sj, rowsj, winj) raw buffers
 //
-// RNG is a per-step SplitMix64/xoshiro-free LCG-seeded mt19937_64 — a
-// different (but equally uniform) stream than the numpy fallback; both are
-// deterministic per (seed, step).
-static PyObject* bpr_prep_epoch(PyObject*, PyObject* args) {
-  Py_buffer u_buf{}, i_buf{}, keys_buf{};
+// RNG is a per-step SplitMix64-scrambled mt19937_64 — a different (but
+// equally uniform) stream than the numpy fallback; both are deterministic
+// per (seed, step).
+static PyObject* bpr_prep_epoch_v2(PyObject*, PyObject* args) {
+  Py_buffer u_buf{}, keys_buf{};
   int64_t S, B, U, I, slots, rh, wrows, tile, seed;
-  if (!PyArg_ParseTuple(args, "y*y*y*LLLLLLLLL", &u_buf, &i_buf, &keys_buf,
+  if (!PyArg_ParseTuple(args, "y*y*LLLLLLLLL", &u_buf, &keys_buf,
                         &S, &B, &U, &I, &slots, &rh, &wrows, &tile, &seed)) {
     return nullptr;
   }
-  BufferGuard ug{u_buf}, ig{i_buf}, kg{keys_buf};
+  BufferGuard ug{u_buf}, kg{keys_buf};
   const int32_t* u2 = static_cast<const int32_t*>(u_buf.buf);
-  const int32_t* i2 = static_cast<const int32_t*>(i_buf.buf);
   const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
   const int64_t nkeys =
       keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
 
-  const int64_t B2 = 2 * B;
-  const int64_t folded = B2 / 128;  // B2 is a tile multiple
   const int64_t nw = rh / wrows;
   PyObject* j_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
   PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
-  PyObject* p_bytes = PyBytes_FromStringAndSize(nullptr, S * B2 * 4);
-  PyObject* s_bytes = PyBytes_FromStringAndSize(nullptr, S * B2 * 4);
-  PyObject* r_bytes = PyBytes_FromStringAndSize(nullptr, S * folded * 512);
+  PyObject* p_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* r_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
   PyObject* w_bytes = PyBytes_FromStringAndSize(nullptr, S * 2 * nw * 4);
-  if (!j_bytes || !m_bytes || !p_bytes || !s_bytes || !r_bytes || !w_bytes) {
+  if (!j_bytes || !m_bytes || !p_bytes || !r_bytes || !w_bytes) {
     Py_XDECREF(j_bytes); Py_XDECREF(m_bytes); Py_XDECREF(p_bytes);
-    Py_XDECREF(s_bytes); Py_XDECREF(r_bytes); Py_XDECREF(w_bytes);
+    Py_XDECREF(r_bytes); Py_XDECREF(w_bytes);
     return nullptr;
   }
   int32_t* j2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(j_bytes));
   float* mask = reinterpret_cast<float*>(PyBytes_AS_STRING(m_bytes));
-  int32_t* permh = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(p_bytes));
-  int32_t* sloth = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(s_bytes));
-  int32_t* rowsh = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(r_bytes));
-  int32_t* winh = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(w_bytes));
+  int32_t* sj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(p_bytes));
+  int32_t* rowsj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(r_bytes));
+  int32_t* winj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(w_bytes));
 
   Py_BEGIN_ALLOW_THREADS;
 #ifdef _OPENMP
@@ -153,13 +150,11 @@ static PyObject* bpr_prep_epoch(PyObject*, PyObject* args) {
 #endif
   {
     std::vector<int64_t> counts(rh + 1);
-    std::vector<int32_t> cat(B2);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
     for (int64_t t = 0; t < S; ++t) {
       const int32_t* u = u2 + t * B;
-      const int32_t* ii = i2 + t * B;
       int32_t* j = j2 + t * B;
       float* mf = mask + t * B;
       // SplitMix64-scrambled per-step seed -> mt19937_64
@@ -181,47 +176,40 @@ static PyObject* bpr_prep_epoch(PyObject*, PyObject* args) {
         }
         mf[b] = live ? 1.0f : 0.0f;
       }
-      // counting sort of concat(i, j) by physical row
-      for (int64_t b = 0; b < B; ++b) cat[b] = ii[b];
-      for (int64_t b = 0; b < B; ++b) cat[B + b] = j[b];
+      // counting sort of j by physical row
       std::fill(counts.begin(), counts.end(), 0);
-      for (int64_t b = 0; b < B2; ++b) ++counts[cat[b] / slots + 1];
+      for (int64_t b = 0; b < B; ++b) ++counts[j[b] / slots + 1];
       for (int64_t r = 0; r < rh; ++r) counts[r + 1] += counts[r];
       // window ranges from the prefix sums (tile-aligned starts)
-      int32_t* ws = winh + t * 2 * nw;
+      int32_t* ws = winj + t * 2 * nw;
       for (int64_t w = 0; w < nw; ++w) {
         const int64_t lo = counts[w * wrows];
         const int64_t hi =
-            (w + 1) * wrows <= rh ? counts[(w + 1) * wrows] : B2;
+            (w + 1) * wrows <= rh ? counts[(w + 1) * wrows] : B;
         const int64_t astart = (lo / tile) * tile;
         ws[w] = static_cast<int32_t>(astart);
         ws[nw + w] = static_cast<int32_t>(hi - astart);
       }
-      int32_t* ph = permh + t * B2;
-      int32_t* sh = sloth + t * B2;
-      int32_t* rh_out = rowsh + t * folded * 128;
+      int32_t* pj = sj + t * B;
+      int32_t* rj = rowsj + t * B;
       std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
-      for (int64_t b = 0; b < B2; ++b) {
-        const int64_t pos = cursor[cat[b] / slots]++;
-        ph[pos] = static_cast<int32_t>(b);
-        sh[pos] = cat[b] % slots;
-        rh_out[pos] = cat[b] / slots;
-      }
-      for (int64_t b = B2; b < folded * 128; ++b) {
-        rh_out[b] = 0x7fffffff;
+      for (int64_t b = 0; b < B; ++b) {
+        const int64_t pos = cursor[j[b] / slots]++;
+        pj[pos] = static_cast<int32_t>(b);
+        rj[pos] = j[b] / slots;
       }
     }
   }
   Py_END_ALLOW_THREADS;
-  return Py_BuildValue("(NNNNNN)", j_bytes, m_bytes, p_bytes, s_bytes,
+  return Py_BuildValue("(NNNNN)", j_bytes, m_bytes, p_bytes,
                        r_bytes, w_bytes);
 }
 
 static PyMethodDef kMethods[] = {
     {"cooccurrence", cooccurrence, METH_VARARGS,
      "Accumulate left-window 1/distance co-occurrence counts."},
-    {"bpr_prep_epoch", bpr_prep_epoch, METH_VARARGS,
-     "Per-epoch BPR host prep: draws, rejection, H-side sort + windows."},
+    {"bpr_prep_epoch_v2", bpr_prep_epoch_v2, METH_VARARGS,
+     "Per-epoch BPR host prep: draws, rejection, j-side sort + windows."},
     {nullptr, nullptr, 0, nullptr},
 };
 

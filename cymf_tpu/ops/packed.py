@@ -26,8 +26,26 @@ LANES = 128
 
 
 def num_slots(K: int) -> int:
-    """Logical rows per physical row (1 when K > 64 — packing off)."""
-    return max(1, LANES // int(K))
+    """Logical rows per physical row.
+
+    One lane per slot is reserved past the packed payload (the *count
+    channel*, lanes ``[s*K, s*K + s)``): the fused BPR engine accumulates
+    per-logical-row live-sample counts there in the same one-hot matmul
+    that accumulates gradients (`packed_epoch.py`), so ``s`` satisfies
+    ``s * (K + 1) <= 128``.  K > 127 is unsupported (no packing, no spare
+    lane) — callers gate on :func:`packable`.
+    """
+    return max(1, LANES // (int(K) + 1))
+
+
+def packable(K: int) -> bool:
+    """True if the packed fused engine supports this dimension."""
+    return int(K) <= LANES - 1
+
+
+def count_base(K: int) -> int:
+    """First lane of the count channel."""
+    return num_slots(K) * int(K)
 
 
 def packed_rows(n_rows: int, K: int, multiple: int = 8) -> int:
@@ -101,6 +119,39 @@ def place_rows(grads, slot, K: int):
         placed = jnp.pad(grads, ((0, 0), (o * K, LANES - K - o * K)))
         out = jnp.where((slot == o)[:, None], placed, out)
     return out
+
+
+def place_with_count(vals, counts, slot, K: int):
+    """[B, K] values + [B] counts + [B] slot -> [B, 128] lane-placed rows.
+
+    Values land in their slot's payload lanes (as :func:`place_rows`) and
+    ``counts`` lands in the slot's count-channel lane (``count_base + o``).
+    One buffer then carries both operands of the fused one-hot
+    accumulation: gradients AND per-logical-row live-sample counts.
+    """
+    s = num_slots(K)
+    cbase = count_base(K)
+    placed = place_rows(vals, slot, K)[:, :cbase]
+    cc = (slot[:, None] == jnp.arange(s, dtype=slot.dtype)[None, :])
+    cc = cc.astype(vals.dtype) * counts[:, None]
+    pad = LANES - cbase - s
+    out = jnp.concatenate([placed, cc], axis=1)
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad)))
+    return out
+
+
+def split_counts(acc, K: int):
+    """[R, 128] fused accumulation buffer -> (payload [R, cbase],
+    counts [R, s]) views."""
+    cbase = count_base(K)
+    s = num_slots(K)
+    return acc[:, :cbase], acc[:, cbase:cbase + s]
+
+
+def expand_counts(cnt, K: int):
+    """[R, s] per-logical-row counts -> [R, s*K] per-payload-lane."""
+    return jnp.repeat(cnt, int(K), axis=1)
 
 
 def slot_mask(touched_any, K: int):

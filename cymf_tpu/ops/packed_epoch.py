@@ -1,27 +1,42 @@
-"""Packed-table BPR epoch — the single-chip fast path.
+"""Packed-table fused BPR epoch — the single-chip fast path.
 
-Combines the three round-2 performance levers (docs/PERF.md has the
-measured breakdown that motivated each):
+Replaces the reference's Hogwild per-sample SGD loop
+(`/root/reference/cymf/bpr.pyx:162-169`, `model.pyx:54-87`) with a
+synchronous-minibatch pipeline engineered around three measured TPU facts
+(docs/PERF.md): XLA scatter is the bottleneck (40-90M rows/s), gathers are
+per-row issue-bound (~2.2ns/row), and HBM round-trips of batch-sized
+buffers are the next cost after that.  Design:
 
-1. **Packed tables** (`ops/packed.py`): at d <= 64, ``s = 128 // d``
-   logical rows share one 128-lane physical row, so the dense optimizer
-   pass and the gradient buffer shrink ``s``-fold.
+1. **Packed tables** (`ops/packed.py`): ``s`` logical rows share one
+   128-lane physical row, so every gathered granule is fully useful and
+   the dense optimizer pass shrinks ``s``-fold.  One lane per slot is
+   reserved as a *count channel* (see 3).
 2. **Pallas sorted accumulation** (`ops/sorted_accum.py`): gradient
-   scatter-adds — the dominant step cost under XLA — become windowed
-   one-hot MXU matmuls over host-sorted row streams.
-3. **Host-side negative sampling**: the reference draws negatives on the
-   fly from a shared mt19937 (`/root/reference/cymf/bpr.pyx:165-167`);
-   here each epoch's negative stream, rejection mask, and sort
-   permutations are one vectorized numpy pass (as the VMEM Pallas engine
-   already does), freeing the device step of RNG + hash-probe work.
+   scatter-adds become windowed one-hot MXU matmuls over host-sorted row
+   streams — three calls per step (W: batches are host-sorted by user;
+   H-positive and H-negative: device gather by a host-computed sort
+   permutation, one per side — a 2B-index gather from a B-row buffer is
+   5x slower than two B-index gathers, measured).
+3. **Fused gradient formation**: per-sample gradients NEVER materialize.
+   The kernels accumulate the compact per-sample products
+   ``sig*m*(hi-hj)`` (W side) / ``sig*m*wu`` (H sides) while the count
+   channel accumulates live-sample counts ``n_r`` in the same matmul;
+   the weight-decay term reconstitutes per ROW in the optimizer pass as
+   ``wd * n_r * T_r`` (algebraically identical: every contribution in a
+   step reads the same pre-update row).
+4. **Host-side negative sampling**: the reference draws negatives on the
+   fly from a shared mt19937 (`bpr.pyx:165-167`); here each epoch's
+   negative stream, rejection mask, and j-side sort permutation are one
+   vectorized pass (numpy, or the C++ OpenMP pipeline in ``native/``).
    Batch composition is fixed across epochs exactly like the reference
-   (one shuffle before training, `bpr.pyx:104`), so the item-side sort
-   permutation is computed once per fit; only negatives re-sort per epoch.
+   (one shuffle before training, `bpr.pyx:104`), so the u- and i-side
+   permutations are computed once per fit; only the j side re-sorts.
 
 Semantics are identical to the XLA batch engine (`models/bpr.py`): one
 synchronous update per touched row per step with the summed gradient,
-sparse-Adam touched-row moments (per LOGICAL row — `packed.slot_mask`),
-collision masking == the reference's skip.
+sparse-Adam touched-row moments derived from the count channel (a row is
+touched iff a live — unmasked — sample hit it), collision masking == the
+reference's skip.
 """
 
 from __future__ import annotations
@@ -38,7 +53,7 @@ from .sorted_accum import sorted_accum, window_ranges
 TILE = 1024
 
 
-def _fold_rows(phys, tile=TILE):
+def _fold_rows(phys):
     """int32[B] -> lane-major int32[B/128, 128] (B must be a multiple of
     the DMA tile — the batch is rounded up to one by the trainer, so no
     per-step padding copy is ever materialized)."""
@@ -54,7 +69,9 @@ def unpack_device(Tp, K: int):
 
 class PackedAdam:
     """Adam over packed tables with per-logical-row touched masking
-    (constant bias correction — parity quirk, `optimizer.pyx:150-160`)."""
+    (constant bias correction — parity quirk, `optimizer.pyx:150-160`).
+    ``mask`` comes from the count channel: True on every payload lane of
+    a row touched by at least one live sample."""
 
     def __init__(self, alpha, beta1=0.9, beta2=0.999, epsilon=1e-8):
         self.alpha, self.beta1, self.beta2, self.epsilon = \
@@ -63,8 +80,7 @@ class PackedAdam:
     def init(self, Tp):
         return {"m": jnp.zeros_like(Tp), "v": jnp.zeros_like(Tp)}
 
-    def update(self, Tp, state, gbuf, K):
-        mask = pk.slot_mask(gbuf, K)
+    def update(self, Tp, state, gbuf, mask, K):
         m = jnp.where(mask, self.beta1 * state["m"]
                       + (1.0 - self.beta1) * gbuf, state["m"])
         v = jnp.where(mask, self.beta2 * state["v"]
@@ -85,7 +101,7 @@ class PackedAdaGrad:
     def init(self, Tp):
         return {"accum": jnp.ones_like(Tp)}
 
-    def update(self, Tp, state, gbuf, K):
+    def update(self, Tp, state, gbuf, mask, K):
         accum = state["accum"] + jnp.square(gbuf)
         return Tp - self.lr * gbuf * jax.lax.rsqrt(accum), {"accum": accum}
 
@@ -97,7 +113,7 @@ class PackedSgd:
     def init(self, Tp):
         return {}
 
-    def update(self, Tp, state, gbuf, K):
+    def update(self, Tp, state, gbuf, mask, K):
         return Tp - self.lr * gbuf, state
 
 
@@ -111,75 +127,85 @@ def make_packed_optimizer(name, lr):
     raise Exception(f"{name} is invalid.")
 
 
+def _pad_lanes(a):
+    return jnp.pad(a, ((0, 0), (0, 128 - a.shape[1])))
+
+
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
                               "rh", "wrows_w", "wrows_h", "interpret",
                               "precision"))
-def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
-                     permh_steps, sloth_steps, rowsh_steps, winw, winh,
-                     n_valid, *, opt_name, lr, weight_decay, K, rw, rh,
-                     wrows_w=128, wrows_h=128, interpret=False,
-                     precision="highest"):
+def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
+                     rowsi_steps, wini, j_steps, mask_steps, sj_steps,
+                     rowsj_steps, winj, winw, n_valid, *, opt_name, lr,
+                     weight_decay, K, rw, rh, wrows_w=128, wrows_h=128,
+                     interpret=False, precision="split"):
     """One epoch over S pre-sorted minibatches (scan).  All index streams,
-    masks, permutations and window ranges are host-prepared device arrays:
+    permutations and window ranges are host-prepared device arrays:
 
       u_steps int32[S, B]        users, ascending within each step
       i_steps int32[S, B]        positives, aligned with u order
+      si_steps int32[S, B]       permutation sorting samples by packed i row
+      rowsi_steps int32[S, B/128, 128]  folded sorted physical i rows
+      wini int32[S, 2, NWH]      i-side windows (starts; counts)
       j_steps int32[S, B]        negatives (host-drawn), aligned with u
       mask_steps f32[S, B]       1 = live sample (in-data, no collision)
-      permh_steps int32[S, 2B]   permutation sorting concat(i, j) by
-                                 physical row (H-side gradient order)
-      sloth_steps int32[S, 2B]   slot of each permuted H contribution
-      rowsh_steps int32[S, 2B/128, 128]  folded sorted physical rows
-      winw/winh int32[S, 2, NW]  sorted_accum window (starts; counts)
+      sj/rowsj/winj              j-side analogues of si/rowsi/wini
+      winw int32[S, 2, NWW]      W-side windows over the sorted users
     """
     opt = make_packed_optimizer(opt_name, lr)
     wd = jnp.float32(weight_decay)
     s = pk.num_slots(K)
+    cb = pk.count_base(K)
+    acc = functools.partial(sorted_accum, tile=TILE, interpret=interpret,
+                            precision=precision)
 
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
-        u, i, j, mf, permh, sloth, rowsh, ww, wh = xs
+        u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww = xs
         phys_u, slot_u = u // s, u % s
+        slot_i = i % s
+        slot_j = j % s
 
         wu = pk.extract_rows(Wp[phys_u], slot_u, K)
-        hi = pk.extract_rows(Hp[i // s], i % s, K)
-        hj = pk.extract_rows(Hp[j // s], j % s, K)
+        hi = pk.extract_rows(Hp[i // s], slot_i, K)
+        hj = pk.extract_rows(Hp[j // s], slot_j, K)
 
         x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
-        sig = jax.nn.sigmoid(-x)
-        mcol = mf[:, None]
-        g_wu = -(sig * (hi - hj) - wd * wu) * mcol
-        g_hi = -(sig * wu - wd * hi) * mcol
-        g_hj = -(-sig * wu - wd * hj) * mcol
+        sm = (jax.nn.sigmoid(-x[:, 0]) * mf)[:, None]
         l2 = (jnp.sum(jnp.square(wu), axis=1)
               + jnp.sum(jnp.square(hi), axis=1)
               + jnp.sum(jnp.square(hj), axis=1))
         loss = (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf
 
-        # --- W: u already sorted
-        gW = pk.place_rows(g_wu, slot_u, K)
-        gbw = sorted_accum(_fold_rows(phys_u), gW, ww[0], ww[1],
-                           r_pad=rw, wrows=wrows_w, tile=TILE,
-                           interpret=interpret, precision=precision)
-        Wp, ow = opt.update(Wp, ow, gbw, K)
+        SW = pk.place_with_count(sm * (hi - hj), mf, slot_u, K)
+        SVi = pk.place_with_count(sm * wu, mf, slot_i, K)
+        SVj = pk.place_with_count(sm * wu, mf, slot_j, K)
 
-        # --- H: one fused accumulate over both contributions, permuted
-        # into sorted physical-row order (permutation + sorted rows + slots
-        # are host-prepared; j changes per epoch so this is per-epoch prep)
-        g_cat = jnp.concatenate([g_hi, g_hj])[permh]
-        gH = pk.place_rows(g_cat, sloth, K)
-        gbh = sorted_accum(rowsh, gH, wh[0], wh[1],
-                           r_pad=rh, wrows=wrows_h, tile=TILE,
-                           interpret=interpret, precision=precision)
-        Hp, oh = opt.update(Hp, oh, gbh, K)
+        Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
+                 wrows=wrows_w)
+        Ai = acc(rowsi, SVi[si], wi[0], wi[1], r_pad=rh, wrows=wrows_h)
+        Aj = acc(rowsj, SVj[sj], wj[0], wj[1], r_pad=rh, wrows=wrows_h)
+
+        gw, nw = pk.split_counts(Aw, K)
+        nwE = pk.expand_counts(nw, K)
+        gbw = _pad_lanes(-gw + wd * nwE * Wp[:, :cb])
+        mw = _pad_lanes(nwE > 0)
+        Wp, ow = opt.update(Wp, ow, gbw, mw, K)
+
+        gi, ni = pk.split_counts(Ai, K)
+        gj, nj = pk.split_counts(Aj, K)
+        nhE = pk.expand_counts(ni + nj, K)
+        gbh = _pad_lanes((gj - gi) + wd * nhE * Hp[:, :cb])
+        mh = _pad_lanes(nhE > 0)
+        Hp, oh = opt.update(Hp, oh, gbh, mh, K)
         return (Wp, Hp, ow, oh, loss_acc + jnp.sum(loss)), None
 
     init = (Wp, Hp, ow, oh, jnp.zeros((), jnp.float32))
     (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
-        step, init,
-        (u_steps, i_steps, j_steps, mask_steps, permh_steps, sloth_steps,
-         rowsh_steps, winw, winh))
+        step, init, (u_steps, i_steps, si_steps, rowsi_steps, wini,
+                     j_steps, mask_steps, sj_steps, rowsj_steps, winj,
+                     winw))
     return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
@@ -187,49 +213,65 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, j_steps, mask_steps,
 # host-side preparation
 # ---------------------------------------------------------------------------
 
-def prep_static(u2: np.ndarray, K: int, rw: int, wrows_w: int,
-                tile: int = TILE):
-    """Once per fit: per-step W-side windows (u is pre-sorted)."""
+def _sorted_side(vals2, s, r_pad, wrows, tile):
+    """Per-step sort permutation + folded sorted physical rows + windows
+    for one H side (``vals2`` = item ids, int [S, B])."""
+    S, B = vals2.shape
+    perm = np.empty((S, B), np.int32)
+    rows = np.empty((S, B // 128, 128), np.int32)
+    win = np.empty((S, 2, r_pad // wrows), np.int32)
+    for t in range(S):
+        ph = vals2[t] // s
+        p = np.argsort(ph, kind="stable").astype(np.int32)
+        perm[t] = p
+        ph_sorted = ph[p]
+        win[t, 0], win[t, 1] = window_ranges(ph_sorted, r_pad, wrows, tile)
+        rows[t] = ph_sorted.reshape(B // 128, 128)
+    return perm, rows, win
+
+
+def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
+                wrows_h: int, tile: int = TILE):
+    """Once per fit: W-side windows (u is pre-sorted) and the full i-side
+    prep (batch composition is fixed across epochs, `bpr.pyx:104`)."""
     S, B = u2.shape
     s = pk.num_slots(K)
     winw = np.empty((S, 2, rw // wrows_w), np.int32)
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
         winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
-    return winw
+    si, rowsi, wini = _sorted_side(i2, s, rh, wrows_h, tile)
+    return winw, si, rowsi, wini
 
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
                rh: int, wrows_h: int, tile: int = TILE, native_seed=None):
     """Once per epoch: negative draws, rejection+padding mask, and the
-    H-side sort permutation over concat(i, j) contributions + slot/row
-    streams + windows.  Mirrors `bpr.pyx:165-167`: one uniform draw per
-    interaction, collisions with known positives masked out.
+    j-side sort permutation/rows/windows.  Mirrors `bpr.pyx:165-167`: one
+    uniform draw per interaction, collisions with known positives masked
+    out.
 
-    When the C++ extension is built and ``native_seed`` is given, the whole
-    pass runs in ``_native.bpr_prep_epoch`` (OpenMP over steps, counting
-    sort) — the TPU-era analogue of the reference's native host layer.  The
-    native and numpy paths draw from different (equally uniform) streams;
-    each is deterministic in its seed.
+    When the C++ extension is built and ``native_seed`` is given, the
+    whole pass runs in ``_native.bpr_prep_epoch`` (OpenMP over steps,
+    counting sort) — the TPU-era analogue of the reference's native host
+    layer.  The native and numpy paths draw from different (equally
+    uniform) streams; each is deterministic in its seed.
     """
     S, B = u2.shape
     s = pk.num_slots(K)
     if native_seed is not None:
         from ..native import HAVE_NATIVE, _native
-        if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch"):
+        if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch_v2"):
             u2c = np.ascontiguousarray(u2, np.int32)
-            i2c = np.ascontiguousarray(i2, np.int32)
             keys = np.ascontiguousarray(pos_keys, np.int64)
-            jb, mb, pb, sb, rb, wb = _native.bpr_prep_epoch(
-                u2c, i2c, keys, S, B, num_users, num_items, s, rh,
+            jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
+                u2c, keys, S, B, num_users, num_items, s, rh,
                 wrows_h, tile, int(native_seed))
-            folded = 2 * B // 128
             return (np.frombuffer(jb, np.int32).reshape(S, B),
                     np.frombuffer(mb, np.float32).reshape(S, B),
-                    np.frombuffer(pb, np.int32).reshape(S, 2 * B),
-                    np.frombuffer(sb, np.int32).reshape(S, 2 * B),
-                    np.frombuffer(rb, np.int32).reshape(S, folded, 128),
+                    np.frombuffer(pb, np.int32).reshape(S, B),
+                    np.frombuffer(rb, np.int32).reshape(S, B // 128, 128),
                     np.frombuffer(wb, np.int32).reshape(
                         S, 2, rh // wrows_h))
     j2 = rng.integers(0, num_items, (S, B)).astype(np.int32)
@@ -241,21 +283,5 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
     mask = (in_data & ~collide).astype(np.float32)
-
-    folded = 2 * B // 128
-    permh = np.empty((S, 2 * B), np.int32)
-    sloth = np.empty((S, 2 * B), np.int32)
-    rowsh = np.empty((S, folded, 128), np.int32)
-    winh = np.empty((S, 2, rh // wrows_h), np.int32)
-    for t in range(S):
-        cat = np.concatenate([i2[t], j2[t]])
-        ph = cat // s
-        perm = np.argsort(ph, kind="stable").astype(np.int32)
-        permh[t] = perm
-        cat_sorted = cat[perm]
-        sloth[t] = cat_sorted % s
-        ph_sorted = ph[perm]
-        winh[t, 0], winh[t, 1] = window_ranges(ph_sorted, rh, wrows_h, tile)
-        pad = np.full(folded * 128 - 2 * B, np.iinfo(np.int32).max, np.int32)
-        rowsh[t] = np.concatenate([ph_sorted, pad]).reshape(folded, 128)
-    return j2, mask, permh, sloth, rowsh, winh
+    sj, rowsj, winj = _sorted_side(j2, s, rh, wrows_h, tile)
+    return j2, mask, sj, rowsj, winj

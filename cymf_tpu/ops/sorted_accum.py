@@ -100,12 +100,29 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
         # (tile, 128) gradient slab — contraction depth `tile` keeps the
         # systolic array full (8 separate 128-deep dots each paid MXU
         # latency and ran ~3x slower).
-        hot = jnp.concatenate(
-            [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
-             for a in range(groups)], axis=1)
-        out_ref[:] += jax.lax.dot_general(
-            hot, g_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+        if precision == "split":
+            # 0/1 one-hot entries are exact in bf16; splitting the f32
+            # gradient slab into bf16 high + low halves makes the bf16
+            # matmul near-exact (~2^-18 relative) at 2 MXU passes instead
+            # of Precision.HIGHEST's 6.
+            hot = jnp.concatenate(
+                [(rblock[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
+                 for a in range(groups)], axis=1)
+            g32 = g_ref[...]
+            ghi = g32.astype(jnp.bfloat16)
+            glo = (g32 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:] += jax.lax.dot_general(
+                jnp.concatenate([hot, hot], axis=1),
+                jnp.concatenate([ghi, glo], axis=0),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            hot = jnp.concatenate(
+                [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
+                 for a in range(groups)], axis=1)
+            out_ref[:] += jax.lax.dot_general(
+                hot, g_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(nchunks > 0)
     def _():
@@ -176,7 +193,7 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    prec = jax.lax.Precision(precision)
+    prec = "split" if precision == "split" else jax.lax.Precision(precision)
     return pl.pallas_call(
         functools.partial(_accum_kernel, wrows=wrows, tile=tile,
                           precision=prec),

@@ -1,7 +1,7 @@
 """Native (C++/OpenMP) BPR epoch-prep vs structural invariants and the
 numpy fallback.  The two draw different RNG streams, so equality is
 checked on everything EXCEPT the draws: permutation validity, sortedness,
-slot/row consistency, rejection-mask correctness, window ranges."""
+row consistency, rejection-mask correctness, window ranges."""
 
 import numpy as np
 import pytest
@@ -25,23 +25,20 @@ def _inputs(seed=0):
 
 
 def _validate(out, u2, i2, pos_keys, s, rh):
-    j2, mask, permh, sloth, rowsh, winh = out
+    j2, mask, sj, rowsj, winj = out
     for t in range(S):
-        cat = np.concatenate([i2[t], j2[t]])
-        perm = permh[t]
-        assert np.array_equal(np.sort(perm), np.arange(2 * B))
-        ph_sorted = cat[perm] // s
+        perm = sj[t]
+        assert np.array_equal(np.sort(perm), np.arange(B))
+        ph_sorted = j2[t][perm] // s
         assert (np.diff(ph_sorted) >= 0).all()
-        assert (rowsh[t].ravel()[:2 * B] == ph_sorted).all()
-        assert (sloth[t] == cat[perm] % s).all()
-        assert (rowsh[t].ravel()[2 * B:] == np.iinfo(np.int32).max).all()
+        assert (rowsj[t].ravel() == ph_sorted).all()
         keys = u2[t].astype(np.int64) * I + j2[t]
         idx = np.minimum(np.searchsorted(pos_keys, keys), len(pos_keys) - 1)
         collide = pos_keys[idx] == keys
         expect = ((u2[t] < U) & ~collide).astype(np.float32)
         assert (mask[t] == expect).all()
         st, ct = window_ranges(ph_sorted, rh, 128, 1024)
-        assert (winh[t, 0] == st).all() and (winh[t, 1] == ct).all()
+        assert (winj[t, 0] == st).all() and (winj[t, 1] == ct).all()
 
 
 def test_numpy_prep_invariants():
@@ -68,3 +65,21 @@ def test_native_prep_deterministic():
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
     assert not np.array_equal(a[0], c[0])
+
+
+def test_prep_static_invariants():
+    from cymf_tpu.ops.packed_epoch import prep_static
+    s, rh, u2, i2, pos_keys = _inputs()
+    rw = pk.packed_rows(U, K, 128)
+    winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, 128, 128)
+    for t in range(S):
+        perm = si[t]
+        assert np.array_equal(np.sort(perm), np.arange(B))
+        ph_sorted = i2[t][perm] // s
+        assert (np.diff(ph_sorted) >= 0).all()
+        assert (rowsi[t].ravel() == ph_sorted).all()
+        st, ct = window_ranges(ph_sorted, rh, 128, 1024)
+        assert (wini[t, 0] == st).all() and (wini[t, 1] == ct).all()
+        pu = u2[t] // s
+        st, ct = window_ranges(pu, rw, 128, 1024)
+        assert (winw[t, 0] == st).all() and (winw[t, 1] == ct).all()

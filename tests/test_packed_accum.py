@@ -93,7 +93,11 @@ class TestSortedAccum:
         counts_per_row = np.bincount(rows, minlength=R)
         np.testing.assert_allclose(out[:, 0], counts_per_row)
 
-    def test_packed_epoch_matches_dense_reference(self):
+    @pytest.mark.parametrize("precision,rtol,atol",
+                             [("highest", 2e-4, 2e-5),
+                              ("split", 8e-4, 8e-5)])
+    def test_packed_epoch_matches_dense_reference(self, precision, rtol,
+                                                  atol):
         """packed_bpr_epoch == an unpacked gather/scatter/sparse-Adam
         replica on identical (u, i, j, mask) streams."""
         from cymf_tpu.ops import packed as pk
@@ -111,10 +115,10 @@ class TestSortedAccum:
         wrows = 128
         rw = pk.packed_rows(U, K, multiple=wrows)
         rh = pk.packed_rows(I, K, multiple=wrows)
-        winw = prep_static(u2, K, rw, wrows)
+        winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows, wrows)
         pos_keys = np.sort(
             u2.ravel().astype(np.int64) * I + i2.ravel())
-        j2, mask, permh, sloth, rowsh, winh = prep_epoch(
+        j2, mask, sj, rowsj, winj = prep_epoch(
             np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
 
         Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
@@ -123,19 +127,22 @@ class TestSortedAccum:
         opt = make_packed_optimizer("adam", lr)
         Wp2, Hp2, _, _, loss = packed_bpr_epoch(
             Wp, Hp, opt.init(Wp), opt.init(Hp),
-            jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(j2),
-            jnp.asarray(mask), jnp.asarray(permh), jnp.asarray(sloth),
-            jnp.asarray(rowsh), jnp.asarray(winw), jnp.asarray(winh),
+            jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(si),
+            jnp.asarray(rowsi), jnp.asarray(wini), jnp.asarray(j2),
+            jnp.asarray(mask), jnp.asarray(sj), jnp.asarray(rowsj),
+            jnp.asarray(winj), jnp.asarray(winw),
             jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
             K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
-            interpret=True)
+            interpret=True, precision=precision)
         W_got = np.asarray(unpack_device(Wp2, K))[:U]
         H_got = np.asarray(unpack_device(Hp2, K))[:I]
 
-        # ---- unpacked replica (sparse-Adam with touched mask, like
-        # optim.Adam.update_dense)
-        def adam_dense(T, m, v, gbuf):
-            touched = np.any(gbuf != 0, axis=1, keepdims=True)
+        # ---- unpacked replica: sparse-Adam where a row is touched iff at
+        # least one live (unmasked) sample hit it — the count-channel
+        # semantics, matching the reference's per-sampled-element updates
+        # (`optimizer.pyx:150-160` runs for every non-skipped sample)
+        def adam_dense(T, m, v, gbuf, touched):
+            touched = touched[:, None] > 0
             m2 = np.where(touched, 0.9 * m + 0.1 * gbuf, m)
             v2 = np.where(touched, 0.999 * v + 0.001 * gbuf**2, v)
             delta = np.where(
@@ -156,11 +163,37 @@ class TestSortedAccum:
             gW = np.zeros_like(W); np.add.at(gW, u, g_wu)
             gH = np.zeros_like(H); np.add.at(gH, i, g_hi)
             np.add.at(gH, j, g_hj)
-            W, mW, vW = adam_dense(W, mW, vW, gW)
-            H, mH, vH = adam_dense(H, mH, vH, gH)
+            cW = np.zeros(U); np.add.at(cW, u, mask[t])
+            cH = np.zeros(I); np.add.at(cH, i, mask[t])
+            np.add.at(cH, j, mask[t])
+            W, mW, vW = adam_dense(W, mW, vW, gW, cW)
+            H, mH, vH = adam_dense(H, mH, vH, gH, cH)
 
-        np.testing.assert_allclose(W_got, W, rtol=2e-4, atol=2e-5)
-        np.testing.assert_allclose(H_got, H, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(W_got, W, rtol=rtol, atol=atol)
+        np.testing.assert_allclose(H_got, H, rtol=rtol, atol=atol)
+
+    def test_fit_packed_on_learns(self):
+        """The public BPR.fit packed path (packed='on', interpret mode)
+        trains: loss decreases and ranking beats random."""
+        import scipy.sparse as sp
+
+        from cymf_tpu import BPR
+        from cymf_tpu.evaluation import AoaEvaluator
+
+        rng = np.random.default_rng(0)
+        U, I, rank = 150, 90, 4
+        scores = rng.normal(size=(U, rank)) @ rng.normal(size=(rank, I))
+        X = sp.csr_matrix((scores > np.quantile(scores, 0.9)).astype(
+            np.float64))
+        m = BPR(num_components=8, learning_rate=0.05, weight_decay=0.0,
+                packed="on", batch_size=1024)
+        m.fit(X, num_epochs=3, verbose=False)
+        first_loss = m.last_loss
+        m.fit(X, num_epochs=3, verbose=False)  # warm start continues
+        assert m.last_loss < first_loss
+        ev = AoaEvaluator(X, metrics=["DCG"], k=5, num_negatives=50)
+        got = ev.evaluate(m.W, m.H)["DCG@5"]
+        assert got > 0.3
 
     def test_empty_input(self):
         rows = np.zeros(0, np.int32)
