@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import packed as pk
+from .fused_sample import bpr_sample_phase, decorate
 from .sorted_accum import sorted_accum, window_ranges
 
 TILE = 1024
@@ -167,20 +168,15 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
         slot_i = i % s
         slot_j = j % s
 
-        wu = pk.extract_rows(Wp[phys_u], slot_u, K)
-        hi = pk.extract_rows(Hp[i // s], slot_i, K)
-        hj = pk.extract_rows(Hp[j // s], slot_j, K)
-
-        x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
-        sm = (jax.nn.sigmoid(-x[:, 0]) * mf)[:, None]
-        l2 = (jnp.sum(jnp.square(wu), axis=1)
-              + jnp.sum(jnp.square(hi), axis=1)
-              + jnp.sum(jnp.square(hj), axis=1))
-        loss = (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf
-
-        SW = pk.place_with_count(sm * (hi - hj), mf, slot_u, K)
-        SVi = pk.place_with_count(sm * wu, mf, slot_i, K)
-        SVj = pk.place_with_count(sm * wu, mf, slot_j, K)
+        # fused sample phase (Pallas): slot extraction, score/loss, and
+        # lane placement happen on VMEM tiles — XLA's forms of the same
+        # ops each cost a full (B, 128) HBM round-trip (docs/PERF.md)
+        Du = decorate(Wp[phys_u], slot_u, mf, K)
+        Di = decorate(Hp[i // s], slot_i, mf, K)
+        Dj = decorate(Hp[j // s], slot_j, mf, K)
+        SW, SVi, SVj, lossp = bpr_sample_phase(
+            Du, Di, Dj, K=K, wd=weight_decay, interpret=interpret)
+        loss_step = lossp[0, 0]
 
         Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
                  wrows=wrows_w)
@@ -199,7 +195,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
         gbh = _pad_lanes((gj - gi) + wd * nhE * Hp[:, :cb])
         mh = _pad_lanes(nhE > 0)
         Hp, oh = opt.update(Hp, oh, gbh, mh, K)
-        return (Wp, Hp, ow, oh, loss_acc + jnp.sum(loss)), None
+        return (Wp, Hp, ow, oh, loss_acc + loss_step), None
 
     init = (Wp, Hp, ow, oh, jnp.zeros((), jnp.float32))
     (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(

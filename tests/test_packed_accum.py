@@ -204,3 +204,62 @@ class TestSortedAccum:
             jnp.asarray(rows2d), jnp.asarray(g_p), jnp.asarray(starts),
             jnp.asarray(counts), r_pad=256, wrows=128, interpret=True))
         assert (out == 0).all()
+
+
+class TestFusedSamplePhase:
+    @pytest.mark.parametrize("K", [20, 33, 64, 100])
+    def test_matches_xla_composition(self, K):
+        """bpr_sample_phase (interpret) == extract/score/place in jnp."""
+        from cymf_tpu.ops.fused_sample import bpr_sample_phase, decorate
+
+        rng = np.random.default_rng(K)
+        U, I, B = 97, 61, 2048
+        s = pk.num_slots(K)
+        rw = pk.packed_rows(U, K)
+        rh = pk.packed_rows(I, K)
+        Wp = jnp.asarray(rng.normal(size=(rw, 128)).astype(np.float32))
+        Hp = jnp.asarray(rng.normal(size=(rh, 128)).astype(np.float32))
+        u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+        i = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+        j = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+        mf = jnp.asarray((rng.random(B) > 0.2).astype(np.float32))
+        wd = 0.013
+
+        Du = decorate(Wp[u // s], u % s, mf, K)
+        Di = decorate(Hp[i // s], i % s, mf, K)
+        Dj = decorate(Hp[j // s], j % s, mf, K)
+        SW, SVi, SVj, lossp = bpr_sample_phase(Du, Di, Dj, K=K, wd=wd,
+                                               interpret=True, tile=1024)
+
+        # jnp reference — the packed engine's original XLA step
+        wu = pk.extract_rows(Wp[u // s], u % s, K)
+        hi = pk.extract_rows(Hp[i // s], i % s, K)
+        hj = pk.extract_rows(Hp[j // s], j % s, K)
+        x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
+        sm = (jax.nn.sigmoid(-x[:, 0]) * mf)[:, None]
+        l2 = (jnp.sum(jnp.square(wu), axis=1)
+              + jnp.sum(jnp.square(hi), axis=1)
+              + jnp.sum(jnp.square(hj), axis=1))
+        # masked samples: kernel extracts zero rows -> x=0, but loss is
+        # masked either way; compare the masked totals
+        loss_ref = jnp.sum((-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf)
+        SW_ref = pk.place_with_count(sm * (hi - hj), mf, u % s, K)
+        SVi_ref = pk.place_with_count(sm * wu, mf, i % s, K)
+        SVj_ref = pk.place_with_count(sm * wu, mf, j % s, K)
+
+        m = np.asarray(mf)[:, None]
+        np.testing.assert_allclose(np.asarray(SW) * m,
+                                   np.asarray(SW_ref) * m,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(SVi) * m,
+                                   np.asarray(SVi_ref) * m,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(SVj) * m,
+                                   np.asarray(SVj_ref) * m,
+                                   rtol=1e-5, atol=1e-6)
+        # masked samples contribute exactly zero rows
+        np.testing.assert_array_equal(np.asarray(SW) * (1 - m), 0.0)
+        np.testing.assert_allclose(float(lossp[0, 0]),
+                                   float(loss_ref), rtol=1e-5)
+        # everything but (0,0) stays zero
+        assert float(jnp.sum(jnp.abs(lossp))) == float(jnp.abs(lossp[0, 0]))
