@@ -72,9 +72,9 @@ def bench_bpr_packed():
     u2 = np.take_along_axis(u2, order, axis=1)
     i2 = np.take_along_axis(i2, order, axis=1)
 
-    wrows_w, wrows_h = 128, 128
+    wrows_w, wrows_h = 512, 512
     rw = pk.packed_rows(U, K, multiple=wrows_w)
-    rh = pk.packed_rows(I, K, multiple=wrows_h)
+    rh = pk.logical_rows(I, multiple=wrows_h)
     winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
@@ -83,7 +83,7 @@ def bench_bpr_packed():
     rng = np.random.default_rng(0)
     Wp = jnp.asarray(pk.pack_array(
         rng.uniform(-0.1, 0.1, (U, K)) / K, K, multiple=wrows_w))
-    Hp = jnp.asarray(pk.pack_array(
+    Hp = jnp.asarray(pk.pack_logical(
         rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows_h))
     from cymf_tpu.ops.packed_epoch import make_packed_optimizer
     opt = make_packed_optimizer("adam", 0.001)

@@ -313,9 +313,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
         S, B = u2.shape
         N = self._samples_per_epoch
         self.last_loss = None
-        wrows_w, wrows_h = 128, 128
+        # W packed (dense optimizer pass stays s-fold smaller), H logical
+        # (lane-aligned gathers, no slot rotations) — see ops/fused_sample
+        wrows_w, wrows_h = 512, 512
         rw = pk.packed_rows(U, K, multiple=wrows_w)
-        rh = pk.packed_rows(I, K, multiple=wrows_h)
+        rh = pk.logical_rows(I, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
         winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w,
@@ -324,7 +326,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
 
         Wp = jnp.asarray(pk.pack_array(self.W, K, multiple=wrows_w))
-        Hp = jnp.asarray(pk.pack_array(self.H, K, multiple=wrows_h))
+        Hp = jnp.asarray(pk.pack_logical(self.H, K, multiple=wrows_h))
         opt = make_packed_optimizer(self.optimizer, self.learning_rate)
         ow, oh = opt.init(Wp), opt.init(Hp)
 
@@ -338,7 +340,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         def publish():
             self._state = {"W": unpack_device(Wp, K),
-                           "H": unpack_device(Hp, K),
+                           "H": Hp[:, :K],
                            "owp": ow, "ohp": oh}
 
         publish()
@@ -351,7 +353,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
             start_epoch = last_epoch + 1
             Wp = jnp.asarray(pk.pack_array(
                 np.asarray(self._state["W"])[:U], K, multiple=wrows_w))
-            Hp = jnp.asarray(pk.pack_array(
+            Hp = jnp.asarray(pk.pack_logical(
                 np.asarray(self._state["H"])[:I], K, multiple=wrows_h))
             ow, oh = self._state["owp"], self._state["ohp"]
 

@@ -2,10 +2,10 @@
 
 Computes, in one pass over VMEM-resident sample tiles, everything the
 packed BPR step needs between the table gathers and the sorted
-accumulation: slot extraction, the pairwise score/loss
+accumulation: slot extraction of the user row, the pairwise score/loss
 (`/root/reference/cymf/model.pyx:54-60`), the shared sigmoid factor
-(`model.pyx:78`), and lane placement of the three per-sample gradient
-products with their count channel.
+(`model.pyx:78`), lane placement of the W-side gradient product, and the
+single compact H-side product both item streams share.
 
 Why a kernel: the XLA forms of these ops each materialize full
 (B, 128) HBM buffers — the difference profile of the packed epoch
@@ -14,13 +14,27 @@ extract+score floor at ~2.8ms, against <0.1ms of actual VPU work.  Slot
 select/place are just static lane rotations plus multiply-adds once the
 tile sits in VMEM.
 
-The per-sample slot is smuggled in through the *count channel* of each
-gathered buffer (:func:`decorate`): lanes ``[cb, cb+s)`` hold
-``mask * onehot(slot)``.  In-kernel, the per-slot predicate is then the
-broadcastable column ``D[:, cb+c:cb+c+1]`` — no sublane/lane transpose
-of per-sample metadata is ever needed, and the predicate automatically
-applies the collision/padding mask (collision-masked sample == the
-reference's skip, `bpr.pyx:166-167`).
+Layout asymmetry (v4, measured in docs/PERF.md):
+
+* **W is packed** (``s`` slots per physical row, `ops/packed.py`): the
+  big table, so the dense optimizer pass must stay ``s``-fold smaller.
+  The per-sample slot is smuggled in through the *count channel* of the
+  decorated gather (:func:`decorate`): lanes ``[cb, cb+s)`` hold
+  ``mask * onehot(slot)``, making the per-slot predicate a broadcastable
+  column — no sublane/lane transpose of metadata, and the predicate
+  applies the collision/padding mask for free (masked sample == the
+  reference's skip, `bpr.pyx:166-167`).
+* **H is logical** (one row per 128-lane row, payload lanes ``[0, K)``):
+  item rows arrive lane-aligned, so no compaction rotations are spent on
+  2 of the 3 streams, and both H-side gradients collapse into ONE output
+  buffer ``Q = sig*wu`` (they differ only in sign and target row, both
+  of which the accumulation stage owns).  The H table is ~5x smaller
+  than W on the MovieLens family, so its optimizer pass stays cheap.
+
+Outputs per (B, 128) step: ``SW`` (lane-placed ``sig*(hi-hj)`` with the
+user's count channel), ``Q`` (compact ``sig*wu`` with the live-sample
+mask at lane ``K`` — the count channel of the logical H layout), and an
+(8, 128) loss-partials block whose (0, 0) element is the step loss.
 """
 
 from __future__ import annotations
@@ -35,13 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from . import packed as pk
 
 LANES = 128
-# fused-sample tile: 512 keeps Mosaic's scoped-VMEM stack (the kernel's
-# live (tile,128) temporaries, ~21.7MB at tile=1024) under the 16MB limit
+# fused-sample tile: keeps Mosaic's scoped-VMEM stack (the kernel's live
+# (tile,128) temporaries) comfortably under the 16MB limit
 TILE = 512
 
 
 def decorate(gathered, slot, mf, K: int):
-    """XLA-side prep: [B,128] gathered rows -> kernel input buffer.
+    """XLA-side prep for the PACKED (W) side: [B,128] gathered rows ->
+    kernel input buffer.
 
     Payload lanes ``[0, cb)`` pass through untouched (the kernel's
     per-slot predicates select the right lanes); lanes ``>= cb`` are
@@ -55,7 +70,7 @@ def decorate(gathered, slot, mf, K: int):
     return payload + onehot * mf[:, None]
 
 
-def _bpr_sample_kernel(du, di, dj, sw, svi, svj, lossp, *, K, s, cb, wd,
+def _bpr_sample_kernel(du, di, dj, sw, q, lossp, *, K, s, cb, wd,
                        interpret):
     if interpret:
         def roll(x, shift):  # jnp semantics: shift>0 rotates right
@@ -70,14 +85,15 @@ def _bpr_sample_kernel(du, di, dj, sw, svi, svj, lossp, *, K, s, cb, wd,
     cmask = (lane >= cb).astype(jnp.float32)
 
     def compact(D):
-        # logical row -> lanes [0, K): sum of left-rotations, each
+        # packed row -> lanes [0, K): sum of left-rotations, each
         # predicated on the sample's (mask-scaled) slot one-hot column
         acc = D[:, cb:cb + 1] * D
         for c in range(1, s):
             acc = acc + D[:, cb + c:cb + c + 1] * roll(D, -c * K)
         return acc * paymask
 
-    wu, hi, hj = compact(Du), compact(Di), compact(Dj)
+    wu = compact(Du)
+    hi, hj = Di, Dj                      # logical layout: already aligned
     diff = hi - hj
     x = jnp.sum(wu * diff, axis=1, keepdims=True)
     sig = jax.nn.sigmoid(-x)
@@ -107,23 +123,24 @@ def _bpr_sample_kernel(du, di, dj, sw, svi, svj, lossp, *, K, s, cb, wd,
             out = out + D[:, cb + c:cb + c + 1] * roll(vals, c * K)
         return out
 
-    p = sig * diff
-    q = sig * wu
-    sw[:] = placed(Du, p)
-    svi[:] = placed(Di, q)
-    svj[:] = placed(Dj, q)
+    sw[:] = placed(Du, sig * diff)
+    qk = (lane == K).astype(jnp.float32)
+    q[:] = sig * wu + mcol * qk
 
 
 @functools.partial(jax.jit,
                    static_argnames=("K", "wd", "interpret", "tile"))
 def bpr_sample_phase(Du, Di, Dj, *, K: int, wd: float, interpret=False,
                      tile: int = TILE):
-    """[B,128] decorated gathers -> (SW, SVi, SVj, loss_partials).
+    """Decorated W gather + raw logical H gathers -> (SW, Q, loss).
 
-    SW/SVi/SVj are lane-placed gradient products with count channel —
-    bit-compatible with `packed.place_with_count` outputs (same f32 ops,
-    different fusion).  loss_acc is a single revisited [8, 128] block with
-    the step loss in element (0, 0) (== its full sum).
+    ``SW`` is the lane-placed W-side gradient product with count channel —
+    ready for packed-row accumulation.  ``Q`` is the compact shared H-side
+    product ``sig * wu`` (payload lanes [0, K)) with the live-sample mask
+    at lane ``K`` — both item-side accumulations gather from this one
+    buffer, and lane ``K`` accumulates into the logical H layout's count
+    lane.  ``loss`` is a single revisited [8, 128] block with the step
+    loss in element (0, 0) (== its full sum).
     """
     B = Du.shape[0]
     if B % tile:
@@ -138,10 +155,10 @@ def bpr_sample_phase(Du, Di, Dj, *, K: int, wd: float, interpret=False,
         kern,
         grid=(nT,),
         in_specs=[sample_spec] * 3,
-        out_specs=[sample_spec] * 3 + [
+        out_specs=[sample_spec] * 2 + [
             pl.BlockSpec((8, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, LANES), jnp.float32)] * 3 + [
+        out_shape=[jax.ShapeDtypeStruct((B, LANES), jnp.float32)] * 2 + [
             jax.ShapeDtypeStruct((8, LANES), jnp.float32)],
         interpret=interpret,
     )(Du, Di, Dj)

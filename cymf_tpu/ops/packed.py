@@ -56,6 +56,28 @@ def packed_rows(n_rows: int, K: int, multiple: int = 8) -> int:
     return -(-r // multiple) * multiple
 
 
+def logical_rows(n_rows: int, multiple: int = 8) -> int:
+    """Row count of a LOGICAL-layout table (one row per 128-lane physical
+    row, payload in lanes ``[0, K)``), padded to ``multiple``."""
+    return -(-int(n_rows) // multiple) * multiple
+
+
+def pack_logical(table, K: int | None = None, multiple: int = 8):
+    """Host-side: (N, K) -> (R, 128) LOGICAL-layout ndarray: one logical
+    row per physical row, payload in lanes ``[0, K)``, all other lanes
+    zero.  Used for the H table of the fused BPR engine: aligned payloads
+    need no slot rotations in the sample kernel, and the per-row count
+    the accumulation produces lands in lane ``K`` (requires K < 128,
+    which :func:`packable` already guarantees)."""
+    table = np.asarray(table, np.float32)
+    N, K_ = table.shape
+    K = K_ if K is None else K
+    R = logical_rows(N, multiple)
+    out = np.zeros((R, LANES), np.float32)
+    out[:N, :K] = table
+    return out
+
+
 def pack_array(table, K: int | None = None, multiple: int = 8):
     """Host-side: (N, K) -> (R, 128) packed ndarray (float32)."""
     table = np.asarray(table, np.float32)

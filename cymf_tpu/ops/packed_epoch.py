@@ -7,16 +7,24 @@ synchronous-minibatch pipeline engineered around three measured TPU facts
 per-row issue-bound (~2.2ns/row), and HBM round-trips of batch-sized
 buffers are the next cost after that.  Design:
 
-1. **Packed tables** (`ops/packed.py`): ``s`` logical rows share one
-   128-lane physical row, so every gathered granule is fully useful and
-   the dense optimizer pass shrinks ``s``-fold.  One lane per slot is
-   reserved as a *count channel* (see 3).
+1. **Packed W, logical H** (`ops/packed.py`): the user table packs
+   ``s`` logical rows per 128-lane physical row, so every gathered
+   granule is fully useful and its dense optimizer pass shrinks
+   ``s``-fold; the item table stores ONE logical row per physical row
+   (payload lanes ``[0, K)``), so item gathers arrive lane-aligned and
+   the sample kernel spends zero rotations on them — H is ~5x smaller
+   than W on the MovieLens family, so its optimizer pass stays cheap
+   either way.  One lane per logical row is reserved as a *count
+   channel* (see 3).
 2. **Pallas sorted accumulation** (`ops/sorted_accum.py`): gradient
    scatter-adds become windowed one-hot MXU matmuls over host-sorted row
    streams — three calls per step (W: batches are host-sorted by user;
    H-positive and H-negative: device gather by a host-computed sort
    permutation, one per side — a 2B-index gather from a B-row buffer is
-   5x slower than two B-index gathers, measured).
+   5x slower than two B-index gathers, measured).  Both H sides gather
+   from the SAME compact kernel output ``Q = sig*m*wu`` (they differ
+   only in sign and target row), which pipelines ~2.3x better than two
+   distinct-source gathers and saves a (B, 128) kernel output.
 3. **Fused gradient formation**: per-sample gradients NEVER materialize.
    The kernels accumulate the compact per-sample products
    ``sig*m*(hi-hj)`` (W side) / ``sig*m*wu`` (H sides) while the count
@@ -139,15 +147,18 @@ def _pad_lanes(a):
 def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                      rowsi_steps, wini, j_steps, mask_steps, sj_steps,
                      rowsj_steps, winj, winw, n_valid, *, opt_name, lr,
-                     weight_decay, K, rw, rh, wrows_w=128, wrows_h=128,
+                     weight_decay, K, rw, rh, wrows_w=512, wrows_h=512,
                      interpret=False, precision="split"):
-    """One epoch over S pre-sorted minibatches (scan).  All index streams,
-    permutations and window ranges are host-prepared device arrays:
+    """One epoch over S pre-sorted minibatches (scan).  ``Wp`` is the
+    packed user table (``rw`` physical rows); ``Hp`` is the LOGICAL item
+    table (``rh`` = padded item count, payload lanes [0, K), count lane
+    K).  All index streams, permutations and window ranges are
+    host-prepared device arrays:
 
       u_steps int32[S, B]        users, ascending within each step
       i_steps int32[S, B]        positives, aligned with u order
-      si_steps int32[S, B]       permutation sorting samples by packed i row
-      rowsi_steps int32[S, B/128, 128]  folded sorted physical i rows
+      si_steps int32[S, B]       permutation sorting samples by item id
+      rowsi_steps int32[S, B/128, 128]  folded sorted item ids
       wini int32[S, 2, NWH]      i-side windows (starts; counts)
       j_steps int32[S, B]        negatives (host-drawn), aligned with u
       mask_steps f32[S, B]       1 = live sample (in-data, no collision)
@@ -160,28 +171,27 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     cb = pk.count_base(K)
     acc = functools.partial(sorted_accum, tile=TILE, interpret=interpret,
                             precision=precision)
+    payb = jnp.arange(pk.LANES) < K
+    payf = payb.astype(jnp.float32)
 
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
         u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww = xs
         phys_u, slot_u = u // s, u % s
-        slot_i = i % s
-        slot_j = j % s
 
-        # fused sample phase (Pallas): slot extraction, score/loss, and
-        # lane placement happen on VMEM tiles — XLA's forms of the same
-        # ops each cost a full (B, 128) HBM round-trip (docs/PERF.md)
+        # fused sample phase (Pallas): W slot extraction, score/loss, and
+        # W lane placement happen on VMEM tiles — XLA's forms of the same
+        # ops each cost a full (B, 128) HBM round-trip (docs/PERF.md).
+        # H rows gather raw: the logical layout is already lane-aligned.
         Du = decorate(Wp[phys_u], slot_u, mf, K)
-        Di = decorate(Hp[i // s], slot_i, mf, K)
-        Dj = decorate(Hp[j // s], slot_j, mf, K)
-        SW, SVi, SVj, lossp = bpr_sample_phase(
-            Du, Di, Dj, K=K, wd=weight_decay, interpret=interpret)
+        SW, Q, lossp = bpr_sample_phase(
+            Du, Hp[i], Hp[j], K=K, wd=weight_decay, interpret=interpret)
         loss_step = lossp[0, 0]
 
         Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
                  wrows=wrows_w)
-        Ai = acc(rowsi, SVi[si], wi[0], wi[1], r_pad=rh, wrows=wrows_h)
-        Aj = acc(rowsj, SVj[sj], wj[0], wj[1], r_pad=rh, wrows=wrows_h)
+        Ai = acc(rowsi, Q[si], wi[0], wi[1], r_pad=rh, wrows=wrows_h)
+        Aj = acc(rowsj, Q[sj], wj[0], wj[1], r_pad=rh, wrows=wrows_h)
 
         gw, nw = pk.split_counts(Aw, K)
         nwE = pk.expand_counts(nw, K)
@@ -189,11 +199,10 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
         mw = _pad_lanes(nwE > 0)
         Wp, ow = opt.update(Wp, ow, gbw, mw, K)
 
-        gi, ni = pk.split_counts(Ai, K)
-        gj, nj = pk.split_counts(Aj, K)
-        nhE = pk.expand_counts(ni + nj, K)
-        gbh = _pad_lanes((gj - gi) + wd * nhE * Hp[:, :cb])
-        mh = _pad_lanes(nhE > 0)
+        # logical H: payload lanes [0, K), live-sample counts at lane K
+        nh = Ai[:, K:K + 1] + Aj[:, K:K + 1]
+        gbh = ((Aj - Ai) + wd * nh * Hp) * payf
+        mh = (nh > 0) & payb
         Hp, oh = opt.update(Hp, oh, gbh, mh, K)
         return (Wp, Hp, ow, oh, loss_acc + loss_step), None
 
@@ -209,20 +218,20 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
 # host-side preparation
 # ---------------------------------------------------------------------------
 
-def _sorted_side(vals2, s, r_pad, wrows, tile):
-    """Per-step sort permutation + folded sorted physical rows + windows
-    for one H side (``vals2`` = item ids, int [S, B])."""
+def _sorted_side(vals2, r_pad, wrows, tile):
+    """Per-step sort permutation + folded sorted rows + windows for one
+    H side (``vals2`` = item ids, int [S, B]).  The H table is stored in
+    LOGICAL layout, so the target row IS the item id."""
     S, B = vals2.shape
     perm = np.empty((S, B), np.int32)
     rows = np.empty((S, B // 128, 128), np.int32)
     win = np.empty((S, 2, r_pad // wrows), np.int32)
     for t in range(S):
-        ph = vals2[t] // s
-        p = np.argsort(ph, kind="stable").astype(np.int32)
+        p = np.argsort(vals2[t], kind="stable").astype(np.int32)
         perm[t] = p
-        ph_sorted = ph[p]
-        win[t, 0], win[t, 1] = window_ranges(ph_sorted, r_pad, wrows, tile)
-        rows[t] = ph_sorted.reshape(B // 128, 128)
+        srt = vals2[t][p]
+        win[t, 0], win[t, 1] = window_ranges(srt, r_pad, wrows, tile)
+        rows[t] = srt.reshape(B // 128, 128)
     return perm, rows, win
 
 
@@ -236,7 +245,7 @@ def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
         winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
-    si, rowsi, wini = _sorted_side(i2, s, rh, wrows_h, tile)
+    si, rowsi, wini = _sorted_side(i2, rh, wrows_h, tile)
     return winw, si, rowsi, wini
 
 
@@ -255,14 +264,14 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     uniform) streams; each is deterministic in its seed.
     """
     S, B = u2.shape
-    s = pk.num_slots(K)
     if native_seed is not None:
         from ..native import HAVE_NATIVE, _native
         if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch_v2"):
             u2c = np.ascontiguousarray(u2, np.int32)
             keys = np.ascontiguousarray(pos_keys, np.int64)
+            # slots=1: the logical H layout's target row IS the item id
             jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
-                u2c, keys, S, B, num_users, num_items, s, rh,
+                u2c, keys, S, B, num_users, num_items, 1, rh,
                 wrows_h, tile, int(native_seed))
             return (np.frombuffer(jb, np.int32).reshape(S, B),
                     np.frombuffer(mb, np.float32).reshape(S, B),
@@ -279,5 +288,5 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
     mask = (in_data & ~collide).astype(np.float32)
-    sj, rowsj, winj = _sorted_side(j2, s, rh, wrows_h, tile)
+    sj, rowsj, winj = _sorted_side(j2, rh, wrows_h, tile)
     return j2, mask, sj, rowsj, winj

@@ -184,7 +184,7 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((wrows, LANES), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -16,7 +16,7 @@ U, I, K, B, S = 3000, 900, 20, 2048, 3
 
 def _inputs(seed=0):
     s = pk.num_slots(K)
-    rh = pk.packed_rows(I, K, 128)
+    rh = pk.logical_rows(I, 128)  # H is stored in logical layout
     rng = np.random.default_rng(seed)
     u2 = np.sort(rng.integers(0, U, (S, B)).astype(np.int32), axis=1)
     i2 = rng.integers(0, I, (S, B)).astype(np.int32)
@@ -29,7 +29,7 @@ def _validate(out, u2, i2, pos_keys, s, rh):
     for t in range(S):
         perm = sj[t]
         assert np.array_equal(np.sort(perm), np.arange(B))
-        ph_sorted = j2[t][perm] // s
+        ph_sorted = j2[t][perm]  # logical H: target row IS the item id
         assert (np.diff(ph_sorted) >= 0).all()
         assert (rowsj[t].ravel() == ph_sorted).all()
         keys = u2[t].astype(np.int64) * I + j2[t]
@@ -75,7 +75,7 @@ def test_prep_static_invariants():
     for t in range(S):
         perm = si[t]
         assert np.array_equal(np.sort(perm), np.arange(B))
-        ph_sorted = i2[t][perm] // s
+        ph_sorted = i2[t][perm]  # logical H: target row IS the item id
         assert (np.diff(ph_sorted) >= 0).all()
         assert (rowsi[t].ravel() == ph_sorted).all()
         st, ct = window_ranges(ph_sorted, rh, 128, 1024)

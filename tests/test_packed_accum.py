@@ -114,7 +114,7 @@ class TestSortedAccum:
 
         wrows = 128
         rw = pk.packed_rows(U, K, multiple=wrows)
-        rh = pk.packed_rows(I, K, multiple=wrows)
+        rh = pk.logical_rows(I, multiple=wrows)
         winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows, wrows)
         pos_keys = np.sort(
             u2.ravel().astype(np.int64) * I + i2.ravel())
@@ -122,7 +122,7 @@ class TestSortedAccum:
             np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
 
         Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
-        Hp = jnp.asarray(pk.pack_array(H0, K, multiple=wrows))
+        Hp = jnp.asarray(pk.pack_logical(H0, K, multiple=wrows))
         from cymf_tpu.ops.packed_epoch import make_packed_optimizer
         opt = make_packed_optimizer("adam", lr)
         Wp2, Hp2, _, _, loss = packed_bpr_epoch(
@@ -135,7 +135,7 @@ class TestSortedAccum:
             K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
             interpret=True, precision=precision)
         W_got = np.asarray(unpack_device(Wp2, K))[:U]
-        H_got = np.asarray(unpack_device(Hp2, K))[:I]
+        H_got = np.asarray(Hp2[:I, :K])
 
         # ---- unpacked replica: sparse-Adam where a row is touched iff at
         # least one live (unmasked) sample hit it — the count-channel
@@ -209,16 +209,19 @@ class TestSortedAccum:
 class TestFusedSamplePhase:
     @pytest.mark.parametrize("K", [20, 33, 64, 100])
     def test_matches_xla_composition(self, K):
-        """bpr_sample_phase (interpret) == extract/score/place in jnp."""
+        """bpr_sample_phase (interpret) == extract/score/place in jnp.
+
+        W is packed (decorated gather); H is logical (raw gather, payload
+        lanes [0, K), zeros elsewhere) — the v4 layout asymmetry."""
         from cymf_tpu.ops.fused_sample import bpr_sample_phase, decorate
 
         rng = np.random.default_rng(K)
         U, I, B = 97, 61, 2048
         s = pk.num_slots(K)
         rw = pk.packed_rows(U, K)
-        rh = pk.packed_rows(I, K)
         Wp = jnp.asarray(rng.normal(size=(rw, 128)).astype(np.float32))
-        Hp = jnp.asarray(rng.normal(size=(rh, 128)).astype(np.float32))
+        Hn = rng.normal(size=(I, K)).astype(np.float32)
+        Hl = jnp.asarray(pk.pack_logical(Hn, K))
         u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
         i = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
         j = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
@@ -226,39 +229,34 @@ class TestFusedSamplePhase:
         wd = 0.013
 
         Du = decorate(Wp[u // s], u % s, mf, K)
-        Di = decorate(Hp[i // s], i % s, mf, K)
-        Dj = decorate(Hp[j // s], j % s, mf, K)
-        SW, SVi, SVj, lossp = bpr_sample_phase(Du, Di, Dj, K=K, wd=wd,
-                                               interpret=True, tile=1024)
+        SW, Q, lossp = bpr_sample_phase(Du, Hl[i], Hl[j], K=K, wd=wd,
+                                        interpret=True, tile=1024)
 
         # jnp reference — the packed engine's original XLA step
-        wu = pk.extract_rows(Wp[u // s], u % s, K)
-        hi = pk.extract_rows(Hp[i // s], i % s, K)
-        hj = pk.extract_rows(Hp[j // s], j % s, K)
+        wu = pk.extract_rows(Wp[u // s], u % s, K) * mf[:, None]
+        hi = jnp.asarray(Hn)[i]
+        hj = jnp.asarray(Hn)[j]
         x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
-        sm = (jax.nn.sigmoid(-x[:, 0]) * mf)[:, None]
+        sig = jax.nn.sigmoid(-x[:, 0])[:, None]
         l2 = (jnp.sum(jnp.square(wu), axis=1)
               + jnp.sum(jnp.square(hi), axis=1)
               + jnp.sum(jnp.square(hj), axis=1))
-        # masked samples: kernel extracts zero rows -> x=0, but loss is
-        # masked either way; compare the masked totals
-        loss_ref = jnp.sum((-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf)
-        SW_ref = pk.place_with_count(sm * (hi - hj), mf, u % s, K)
-        SVi_ref = pk.place_with_count(sm * wu, mf, i % s, K)
-        SVj_ref = pk.place_with_count(sm * wu, mf, j % s, K)
+        loss_ref = jnp.sum(
+            (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf)
+        SW_ref = pk.place_with_count(sig * (hi - hj), mf, u % s, K)
+        # Q: compact sig*wu (mask folded into wu), mask at lane K
+        Q_ref = np.zeros((B, 128), np.float32)
+        Q_ref[:, :K] = np.asarray(sig * wu)
+        Q_ref[:, K] = np.asarray(mf)
 
         m = np.asarray(mf)[:, None]
         np.testing.assert_allclose(np.asarray(SW) * m,
                                    np.asarray(SW_ref) * m,
                                    rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(SVi) * m,
-                                   np.asarray(SVi_ref) * m,
-                                   rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(SVj) * m,
-                                   np.asarray(SVj_ref) * m,
-                                   rtol=1e-5, atol=1e-6)
         # masked samples contribute exactly zero rows
         np.testing.assert_array_equal(np.asarray(SW) * (1 - m), 0.0)
+        np.testing.assert_allclose(np.asarray(Q), Q_ref,
+                                   rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(float(lossp[0, 0]),
                                    float(loss_ref), rtol=1e-5)
         # everything but (0,0) stays zero
