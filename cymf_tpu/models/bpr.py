@@ -41,12 +41,81 @@ from .base import MFTrainerBase, PersistenceMixin, as_csr
 PAD_USER = np.int32(2**31 - 1)  # padding sentinel: sorts last, OOB-dropped
 
 
+def _load_ckpt_raw(path):
+    """Engine-agnostic checkpoint read: raw flat leaf dict + epoch.
+
+    BPR's two engines store state under different schemas — logical
+    tables + ``ow``/``oh`` optimizer leaves (XLA batch engine) vs
+    packed-layout ``owp``/``ohp`` leaves (packed engine) — and either may
+    resume a checkpoint the other wrote, so resume starts from the raw
+    dict and converts (`utils/checkpoint.py` handles the same-schema
+    fast path elsewhere)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    epoch = int(flat.pop("__epoch__", -1))
+    for k in list(flat):
+        if k.startswith("__meta__/"):
+            flat.pop(k)
+    return flat, epoch
+
+
+def _restore_opt_state(flat, native_prefix, other_prefix, template,
+                       convert, paymask, place):
+    """Rebuild one table's optimizer-state dict from checkpoint leaves.
+
+    Leaves under ``native_prefix`` (this engine's own layout) load
+    verbatim; leaves under ``other_prefix`` run through ``convert`` (the
+    cross-engine layout transform) and splice into ``template``'s values
+    where ``paymask`` is True — positions outside the payload keep their
+    initializer values (e.g. AdaGrad's ones on packed count/dead lanes).
+    ``place`` devices the final array (mesh sharding on the XLA path).
+    """
+    out = {}
+    for sub, tleaf in template.items():
+        nk, ok = f"{native_prefix}/{sub}", f"{other_prefix}/{sub}"
+        if nk in flat:
+            arr = np.asarray(flat[nk])
+            if arr.shape != np.shape(tleaf):
+                raise ValueError(
+                    f"checkpoint leaf {nk!r} has shape {arr.shape}, "
+                    f"expected {np.shape(tleaf)} — written by an "
+                    "incompatible layout/version")
+        elif ok in flat:
+            arr = np.where(paymask, convert(np.asarray(flat[ok])),
+                           np.asarray(tleaf))
+        else:
+            raise KeyError(
+                f"checkpoint has neither {nk!r} nor {ok!r} — not a BPR "
+                "checkpoint for this optimizer")
+        out[sub] = place(arr.astype(np.asarray(tleaf).dtype), tleaf)
+    return out
+
+
+def _place_like(arr, tleaf):
+    """Device-put honoring the template leaf's sharding when present."""
+    if hasattr(tleaf, "sharding"):
+        return jax.device_put(arr, tleaf.sharding)
+    return jnp.asarray(arr)
+
+
 def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
     """'auto' resolves to dense when the batch covers enough of the table
     that a full-table pass is cheaper than sorted row-scatters."""
     if mode != "auto":
         return mode
     return "dense" if batch_rows * 16 >= table_rows else "sparse"
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
+                       num_users: int, num_items: int):
+    """Cached (optimizer, jitted shard_map epoch) per (mesh, config) —
+    the multi-device analogue of :func:`_bpr_epoch_jit`; repeated fits
+    (warm starts, HPO sweeps) would otherwise pay a full remote
+    trace+compile per call (30s-10min through the dev relay)."""
+    from ..parallel.shard_step import sharded_bpr_epoch
+    opt = make_optimizer(opt_name, lr)
+    return opt, sharded_bpr_epoch(mesh, opt, wd, num_users, num_items)
 
 
 @functools.lru_cache(maxsize=64)
@@ -159,21 +228,42 @@ class BPR(MFTrainerBase, PersistenceMixin):
         if packed not in ("auto", "on", "off"):
             raise ValueError("packed must be auto|on|off")
         self.packed = packed
+        if packed == "on":
+            from ..ops import packed as pk
+            if engine != "xla":
+                raise ValueError("packed='on' requires engine='xla'")
+            if not pk.packable(num_components):
+                raise ValueError(
+                    "packed='on' requires num_components <= 127 (the "
+                    "packed layout reserves one count lane per slot)")
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
 
     def _use_packed(self, n_samples: int) -> bool:
         """The packed single-chip fast path (host-sorted batches + Pallas
-        windowed accumulation, ``ops/packed_epoch.py``) applies when: one
-        device, XLA engine, K <= 128, and a real TPU backend (the kernel
-        runs in slow interpret mode elsewhere — tests opt in with
-        ``packed='on'``)."""
-        if self.packed == "off" or self.engine != "xla":
-            return False
-        if self.mesh.num_devices != 1 or self.num_components > 128:
+        windowed accumulation, ``ops/packed_epoch.py``) applies
+        automatically when: one device, XLA engine, packable K (<= 127 —
+        the count channel needs a spare lane per slot, `ops/packed.py`),
+        and a real TPU backend (the kernel runs in slow interpret mode
+        elsewhere).  ``packed='on'`` FORCES the engine (any backend, any
+        mesh — it is a single-device engine and runs on the default
+        device) and raises where that is impossible, rather than silently
+        falling back."""
+        from ..ops import packed as pk
+        if self.packed == "off":
             return False
         if self.packed == "on":
+            if self.engine != "xla":
+                raise ValueError(
+                    "packed='on' requires engine='xla'")
+            if not pk.packable(self.num_components):
+                raise ValueError(
+                    "packed='on' requires num_components <= 127 (the "
+                    "packed layout reserves one count lane per slot)")
             return True
+        if self.engine != "xla" or self.mesh.num_devices != 1 \
+                or not pk.packable(self.num_components):
+            return False
         import jax
         return jax.default_backend() == "tpu" and n_samples >= 4096
 
@@ -244,17 +334,24 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
-        mode = choose_update_mode(self.update_mode, 3 * B,
-                                  Wd.shape[0] + Hd.shape[0])
+        if mesh.num_devices > 1 and self.update_mode == "sparse":
+            import warnings
+            warnings.warn(
+                "update_mode='sparse' applies to the single-device path "
+                "only; the shard_map epoch uses dense masked updates "
+                "(each shard's update buffer is its table shard — "
+                "already O(rows/devices) memory)", stacklevel=2)
         if mesh.num_devices > 1:
             # explicit shard_map path: row-sharded tables, sharded batch,
             # hand-placed O(batch) collectives — compute partitioning is
             # guaranteed by construction (parallel/shard_step.py) and the
             # negative stream is bitwise-identical to the 1-device path.
-            from ..parallel.shard_step import sharded_bpr_epoch
-            opt = make_optimizer(self.optimizer, self.learning_rate)
-            epoch_jit = sharded_bpr_epoch(mesh, opt, self.weight_decay, U, I)
+            opt, epoch_jit = _sharded_epoch_jit(
+                mesh, self.optimizer, self.learning_rate,
+                self.weight_decay, U, I)
         else:
+            mode = choose_update_mode(self.update_mode, 3 * B,
+                                      Wd.shape[0] + Hd.shape[0])
             opt, epoch_jit = _bpr_epoch_jit(
                 self.optimizer, self.learning_rate, self.weight_decay,
                 U, I, mode)
@@ -268,10 +365,31 @@ class BPR(MFTrainerBase, PersistenceMixin):
         start_epoch = 0
         if resume and checkpoint_path is not None \
                 and __import__("os").path.exists(checkpoint_path):
-            from ..utils.checkpoint import load_checkpoint
-            self._state, last_epoch, _ = load_checkpoint(
-                checkpoint_path, self._state)
+            from ..ops import packed as pkl
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
             start_epoch = last_epoch + 1
+            st = self._state
+            Up, Ip = st["W"].shape[0], st["H"].shape[0]
+            K = self.num_components
+            s = pkl.num_slots(K)
+            # tables: both schemas store logical rows (the packed engine
+            # publishes unpacked views), so slice + re-pad covers both
+            st["W"] = self._pad_table(np.asarray(flat["W"])[:U])
+            st["H"] = self._pad_table(np.asarray(flat["H"])[:I])
+
+            def unpack_w(a):  # packed (rw, 128) -> padded logical (Up, K)
+                lg = a[:, :s * K].reshape(-1, K)[:U]
+                return np.pad(lg, ((0, Up - U), (0, 0)))
+
+            def unpack_h(a):  # logical-layout (rh, 128) -> (Ip, K)
+                return np.pad(a[:I, :K], ((0, Ip - I), (0, 0)))
+
+            mrow_w = np.arange(Up)[:, None] < U
+            mrow_h = np.arange(Ip)[:, None] < I
+            st["ow"] = _restore_opt_state(flat, "ow", "owp", st["ow"],
+                                          unpack_w, mrow_w, _place_like)
+            st["oh"] = _restore_opt_state(flat, "oh", "ohp", st["oh"],
+                                          unpack_h, mrow_h, _place_like)
 
         def epoch_fn(epoch):
             st = self._state
@@ -347,15 +465,30 @@ class BPR(MFTrainerBase, PersistenceMixin):
         start_epoch = 0
         if resume and checkpoint_path is not None \
                 and __import__("os").path.exists(checkpoint_path):
-            from ..utils.checkpoint import load_checkpoint
-            self._state, last_epoch, _ = load_checkpoint(
-                checkpoint_path, self._state)
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
             start_epoch = last_epoch + 1
+            # tables: both engine schemas store logical rows
             Wp = jnp.asarray(pk.pack_array(
-                np.asarray(self._state["W"])[:U], K, multiple=wrows_w))
+                np.asarray(flat["W"])[:U], K, multiple=wrows_w))
             Hp = jnp.asarray(pk.pack_logical(
-                np.asarray(self._state["H"])[:I], K, multiple=wrows_h))
-            ow, oh = self._state["owp"], self._state["ohp"]
+                np.asarray(flat["H"])[:I], K, multiple=wrows_h))
+
+            def pack_w(a):  # logical (>=U, K) -> packed (rw, 128)
+                return pk.pack_array(a[:U], K, multiple=wrows_w)
+
+            def pack_h(a):  # logical (>=I, K) -> logical-layout (rh, 128)
+                return pk.pack_logical(a[:I], K, multiple=wrows_h)
+
+            mpay_w = pk.pack_array(np.ones((U, K), np.float32), K,
+                                   multiple=wrows_w) > 0
+            mpay_h = pk.pack_logical(np.ones((I, K), np.float32), K,
+                                     multiple=wrows_h) > 0
+            place = lambda a, t: jnp.asarray(a)
+            ow = _restore_opt_state(flat, "owp", "ow", ow, pack_w, mpay_w,
+                                    place)
+            oh = _restore_opt_state(flat, "ohp", "oh", oh, pack_h, mpay_h,
+                                    place)
+            publish()
 
         self._last_loss_dev = None
 

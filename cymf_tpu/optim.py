@@ -153,7 +153,10 @@ class Adam(SparseOptimizer):
         # Rows whose summed gradient is exactly zero were touched only by
         # masked-out samples (collision/padding); the reference *skips* those
         # (bpr.pyx:166-167), so their moments must not decay — same touched
-        # semantics as update_dense.
+        # semantics as update_dense.  Known deviation: a LIVE sample whose
+        # gradient underflows to exactly 0.0 (saturated pair, wd=0) is also
+        # treated as untouched here, whereas the reference would still decay
+        # that row's moments; the gradient signal is identical (zero).
         rows = jnp.where(jnp.any(grads != 0, axis=tuple(range(1, grads.ndim))),
                          rows, drop)
         crows = jnp.clip(rows, 0, drop - 1)

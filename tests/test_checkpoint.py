@@ -110,3 +110,46 @@ def test_resume_matches_uninterrupted(tmp_path, name):
         np.testing.assert_allclose(m3.H, m1.H, rtol=1e-4, atol=1e-4)
     if name == "expomf":
         np.testing.assert_allclose(m3.mu, m1.mu, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("optimizer", ["adam", "adagrad"])
+@pytest.mark.parametrize("src,dst", [("on", "off"), ("off", "on")])
+def test_bpr_cross_engine_resume(tmp_path, src, dst, optimizer):
+    """A checkpoint written by one BPR engine resumes in the other.
+
+    The two engines store optimizer state in different layouts
+    (logical ``ow``/``oh`` vs packed ``owp``/``ohp``); resume converts.
+    Resuming with num_epochs == saved epochs runs zero extra epochs and
+    must reproduce the checkpointed tables exactly; one further epoch
+    must then train through the converted moments without error.
+    """
+    rng = np.random.default_rng(0)
+    X = sparse.random(120, 70, density=0.2, random_state=3, format="csr")
+    X.data[:] = 1.0
+    kw = dict(num_components=6, learning_rate=0.02, batch_size=128,
+              optimizer=optimizer)
+    p = str(tmp_path / f"ck_{src}_{optimizer}.npz")
+    m1 = BPR(packed=src, **kw)
+    m1.fit(X, num_epochs=2, verbose=False, seed=7, checkpoint_path=p)
+    W1, H1 = m1.W.copy(), m1.H.copy()
+
+    m2 = BPR(packed=dst, **kw)
+    m2.fit(X, num_epochs=2, verbose=False, seed=7, checkpoint_path=p,
+           resume=True)
+    np.testing.assert_allclose(m2.W, W1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m2.H, H1, rtol=1e-5, atol=1e-6)
+
+    m3 = BPR(packed=dst, **kw)
+    m3.fit(X, num_epochs=3, verbose=False, seed=7, checkpoint_path=p,
+           resume=True)
+    assert np.isfinite(m3.W).all() and np.isfinite(m3.H).all()
+    assert not np.allclose(m3.W, W1)  # the extra epoch trained
+
+
+def test_packed_on_validation():
+    """packed='on' rejects impossible configs instead of silently
+    falling back (engine mismatch, unpackable K)."""
+    with pytest.raises(ValueError):
+        BPR(num_components=128, packed="on")
+    with pytest.raises(ValueError):
+        BPR(num_components=8, packed="on", engine="pallas")
