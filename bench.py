@@ -257,14 +257,30 @@ def bench_relmf_ml20m():
     rng = np.random.default_rng(0)
     W = jnp.asarray(rng.uniform(-0.1, 0.1, (U, K)) / K, jnp.float32)
     H = jnp.asarray(rng.uniform(-0.1, 0.1, (I, K)) / K, jnp.float32)
-    opt, epoch = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I, steps, B,
+    # chunked exactly like RelMF.fit: one compiled scan re-dispatched per
+    # offset (a single 28k-step device call is killed by relay RPC
+    # deadlines in this environment — models/relmf.py::_relmf_epoch)
+    from cymf_tpu.models.relmf import _CHUNK_STEPS
+    ch = min(steps, _CHUNK_STEPS)
+    n_full, rem = divmod(steps, ch)
+    opt, chunk = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I, ch, B,
                                   "dense", True)
+    parts = [(chunk, ch)] * n_full
+    if rem:
+        parts.append((_relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I,
+                                       rem, B, "dense", True)[1], rem))
     state = [W, H, opt.init(W), opt.init(H)]
     key = jax.random.PRNGKey(0)
 
     def run():
-        state[0], state[1], state[2], state[3], loss = epoch(
-            state[0], state[1], state[2], state[3], hs, props, key)
+        loss = jnp.zeros(())
+        off = 0
+        for fn, n in parts:
+            state[0], state[1], state[2], state[3], l = fn(
+                state[0], state[1], state[2], state[3], hs, props, key,
+                jnp.asarray(off, jnp.int32))
+            loss = loss + l
+            off += n
         return loss
 
     reps = int(os.environ.get("BENCH_EPOCHS", "1"))

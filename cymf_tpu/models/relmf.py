@@ -36,6 +36,9 @@ from ..optim import make_optimizer
 from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
+_CHUNK_STEPS = 2048  # max scan length per device call (see _relmf_epoch)
+
+
 @functools.lru_cache(maxsize=64)
 def _relmf_epoch_jit(opt_name: str, lr: float, wd: float, clip: float,
                      num_users: int, num_items: int, num_steps: int,
@@ -51,10 +54,18 @@ def _relmf_epoch_jit(opt_name: str, lr: float, wd: float, clip: float,
     return opt, fn
 
 
-def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
+def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, step0, *,
                  optimizer, weight_decay, clip_value, num_users, num_items,
                  num_steps, batch_size, update_mode="dense",
                  binary_labels=False):
+    """One CHUNK of ``num_steps`` sampled-cell SGD steps starting at step
+    index ``step0`` (a traced scalar — chunk offsets reuse one compiled
+    executable).  Step ``sidx`` always folds the same key regardless of
+    chunking, so a chunked epoch is bitwise-identical to a monolithic
+    one; epochs are chunked because a single multi-minute device call is
+    both unfriendly to progress reporting and (in the dev relay
+    environment) killed by RPC deadlines at ML-20M scale.  Returns the
+    SUM of per-sample losses — callers normalize over the full epoch."""
     wd = jnp.asarray(weight_decay, W.dtype)
     M = jnp.asarray(clip_value, W.dtype)
 
@@ -100,9 +111,8 @@ def _relmf_epoch(W, H, opt_w, opt_h, label_src, props, key, *,
 
     init = (W, H, opt_w, opt_h, jnp.zeros((), W.dtype))
     (W, H, opt_w, opt_h, loss), _ = jax.lax.scan(
-        step, init, jnp.arange(num_steps))
-    total = jnp.asarray(num_steps * batch_size, W.dtype)
-    return W, H, opt_w, opt_h, loss / total
+        step, init, step0 + jnp.arange(num_steps))
+    return W, H, opt_w, opt_h, loss
 
 
 class RelMF(MFTrainerBase, PersistenceMixin):
@@ -179,9 +189,19 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         from .bpr import choose_update_mode
         mode = choose_update_mode(self.update_mode, 2 * B,
                                   Wd.shape[0] + Hd.shape[0])
-        opt, epoch_jit = _relmf_epoch_jit(
+        # chunk the epoch into scans of <= _CHUNK_STEPS (exact partition:
+        # one compiled chunk executable + at most one remainder size);
+        # chunking is RNG-transparent — see _relmf_epoch
+        ch = min(num_steps, _CHUNK_STEPS)
+        n_full, rem = divmod(num_steps, ch)
+        opt, chunk_jit = _relmf_epoch_jit(
             self.optimizer, self.learning_rate, self.weight_decay,
-            self.clip_value, U, I, num_steps, B, mode, binary)
+            self.clip_value, U, I, ch, B, mode, binary)
+        parts = [(chunk_jit, ch)] * n_full
+        if rem:
+            parts.append((_relmf_epoch_jit(
+                self.optimizer, self.learning_rate, self.weight_decay,
+                self.clip_value, U, I, rem, B, mode, binary)[1], rem))
         self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
                        "oh": opt.init(Hd)}
         # resume AFTER _state exists, so the checkpointed pytree actually
@@ -196,11 +216,20 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
 
+        total = jnp.asarray(num_steps * B, config.param_dtype())
+
         def epoch_fn(epoch):
             st = self._state
-            st["W"], st["H"], st["ow"], st["oh"], self._last_loss_dev = \
-                epoch_jit(st["W"], st["H"], st["ow"], st["oh"], label_src,
-                          props_d, jax.random.fold_in(base_key, epoch))
+            key = jax.random.fold_in(base_key, epoch)
+            loss = jnp.zeros((), config.param_dtype())
+            off = 0
+            for fn, n in parts:
+                st["W"], st["H"], st["ow"], st["oh"], l = fn(
+                    st["W"], st["H"], st["ow"], st["oh"], label_src,
+                    props_d, key, jnp.asarray(off, jnp.int32))
+                loss = loss + l
+                off += n
+            self._last_loss_dev = loss / total
 
         def snapshot_fn():
             return (self.W, self.H)
