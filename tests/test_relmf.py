@@ -66,3 +66,47 @@ def test_relmf_early_stopping(data):
 def test_relmf_invalid_optimizer():
     with pytest.raises(Exception):
         RelMF(optimizer="nope")
+
+
+def test_chunked_epoch_matches_monolithic():
+    """A chunked RelMF epoch (two scans with step offsets) is bitwise-
+    identical to the monolithic scan — the chunk boundary must not
+    perturb the per-step RNG stream (models/relmf.py::_relmf_epoch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.models.relmf import _relmf_epoch_jit
+    from cymf_tpu.ops.hashset import build_pair_hashset
+
+    U, I, K, B = 60, 40, 6, 128
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, U, 200).astype(np.int32)
+    cols = rng.integers(0, I, 200).astype(np.int32)
+    hs = build_pair_hashset(rows, cols)
+    props = jnp.asarray(rng.uniform(0.2, 1.0, (I, 1)).astype(np.float32))
+    W0 = jnp.asarray(rng.normal(size=(U, K)).astype(np.float32) * 0.01)
+    H0 = jnp.asarray(rng.normal(size=(I, K)).astype(np.float32) * 0.01)
+    key = jax.random.PRNGKey(3)
+
+    def run(chunks):
+        # fresh copies: the epoch jit donates its table/state args
+        W, H = jnp.array(W0), jnp.array(H0)
+        ow = oh = None
+        loss = 0.0
+        off = 0
+        for n in chunks:
+            o, fn = _relmf_epoch_jit("adam", 0.01, 0.01, 0.1, U, I, n, B,
+                                     "dense", True)
+            if ow is None:
+                ow, oh = o.init(W), o.init(H)
+            W, H, ow, oh, l = fn(W, H, ow, oh, hs, props, key,
+                                 jnp.asarray(off, jnp.int32))
+            loss += float(l)
+            off += n
+        return np.asarray(W), np.asarray(H), loss
+
+    Wm, Hm, lm = run([8])
+    Wc, Hc, lc = run([5, 3])
+    np.testing.assert_array_equal(Wc, Wm)
+    np.testing.assert_array_equal(Hc, Hm)
+    assert lc == pytest.approx(lm, rel=1e-6)
