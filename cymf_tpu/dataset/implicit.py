@@ -1,16 +1,17 @@
-"""Implicit-feedback dataset base (rebuild of
-`/root/reference/cymf/dataset/implicit.py`).
+"""Implicit-feedback dataset base (TPU-framework rebuild of the role of
+`/root/reference/cymf/dataset/implicit.py` — the attribute contract only;
+the helpers are new code).
 
 Holds train/valid/test ``scipy.sparse.lil_matrix`` splits plus user/item
 counts; concrete loaders (MovieLens, YahooMusic) fill them in.  The cache
-root is ``~/.cymf_tpu`` (the reference uses ``~/.cymf``,
-`implicit.py:36-38`).
+root is ``~/.cymf_tpu`` (the reference caches under ``~/.cymf``), shared
+by every loader through :func:`cache_root`.
 """
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 import pandas as pd
@@ -19,7 +20,25 @@ from scipy import sparse
 CACHE_DIR_NAME = ".cymf_tpu"
 
 
+def cache_root() -> Path:
+    """The framework-wide dataset cache directory, created on first use.
+
+    Overridable with ``CYMF_TPU_CACHE`` so tests and provisioning scripts
+    can point every loader at a scratch directory.
+    """
+    override = os.environ.get("CYMF_TPU_CACHE")
+    root = Path(override) if override else Path.home() / CACHE_DIR_NAME
+    root.mkdir(parents=True, exist_ok=True)
+    return root
+
+
 class ImplicitFeedbackDataset:
+    """Base for binarized implicit-feedback datasets.
+
+    Subclasses populate ``train``/``valid``/``test`` (lil matrices of
+    shape ``num_user x num_item``) and call :meth:`_finalize`.
+    """
+
     num_user: int
     num_item: int
     train_size: int
@@ -29,16 +48,14 @@ class ImplicitFeedbackDataset:
     valid: sparse.lil_matrix
     test: sparse.lil_matrix
 
-    def __init__(self, dir_name: str, min_rating: float = 4.0,
-                 gamma: float = 0.2) -> None:
-        self.root: Path = Path.home().joinpath(CACHE_DIR_NAME)
-        self.root.mkdir(exist_ok=True)
-        self.dir_path: Path = self.root.joinpath(dir_name)
-        self.min_rating: float = min_rating
+    def __init__(self, dir_name: str, min_rating: float = 4.0) -> None:
+        self.root = cache_root()
+        self.dir_path = self.root / dir_name
+        self.min_rating = float(min_rating)
 
     def to_matrix(self, df: pd.DataFrame) -> sparse.lil_matrix:
-        """(user, item) -> rating lil_matrix (`implicit.py:41-45`), built
-        vectorized through COO instead of a per-entry Python loop."""
+        """(user, item, rating) frame -> lil_matrix, built vectorized
+        through COO instead of a per-entry Python loop."""
         # duplicate (u, i) pairs: lil assignment keeps the last value, COO
         # sums — deduplicate keeping the last occurrence to match.
         dedup = df.drop_duplicates(subset=["user", "item"], keep="last")
@@ -48,15 +65,6 @@ class ImplicitFeedbackDataset:
               dedup["item"].values.astype(np.int64))),
             shape=(self.num_user, self.num_item))
         return m.tolil()
-
-    def to_dataframe(self, matrix: sparse.lil_matrix) -> pd.DataFrame:
-        df = pd.DataFrame(matrix.toarray()).stack().reset_index()
-        df.columns = ("user", "item", "rating")
-        df = df[df["rating"] >= 0]
-        return df
-
-    def split(self, df) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        return df.user.values, df.item.values, df.rating.values[:, None]
 
     def _finalize(self):
         self.train_size = self.train.nnz

@@ -77,7 +77,11 @@ class EarlyStopper:
         else:
             self.count = 0
             self.best_dcg = dcg
-            self.best_snapshot = snapshot_fn()
+            # Best weights are only ever restored under early_stopping
+            # (`bpr.pyx:188-190`) — without it, snapshotting would pull the
+            # full tables device->host every improving epoch for nothing.
+            if self.early_stopping:
+                self.best_snapshot = snapshot_fn()
         return False
 
 

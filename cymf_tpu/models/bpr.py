@@ -60,15 +60,19 @@ def _load_ckpt_raw(path):
 
 
 def _restore_opt_state(flat, native_prefix, other_prefix, template,
-                       convert, paymask, place):
+                       convert, paymask, place, repad=None):
     """Rebuild one table's optimizer-state dict from checkpoint leaves.
 
     Leaves under ``native_prefix`` (this engine's own layout) load
-    verbatim; leaves under ``other_prefix`` run through ``convert`` (the
-    cross-engine layout transform) and splice into ``template``'s values
-    where ``paymask`` is True — positions outside the payload keep their
-    initializer values (e.g. AdaGrad's ones on packed count/dead lanes).
-    ``place`` devices the final array (mesh sharding on the XLA path).
+    verbatim when shapes match; on a row-padding mismatch (checkpoint
+    written under a different mesh/device count) they run through
+    ``repad`` (same-layout slice + re-pad, the conversion the tables
+    themselves get) and splice into ``template`` where ``paymask`` is
+    True.  Leaves under ``other_prefix`` run through ``convert`` (the
+    cross-engine layout transform) with the same splice — positions
+    outside the payload keep their initializer values (e.g. AdaGrad's
+    ones on packed count/dead lanes).  ``place`` devices the final array
+    (mesh sharding on the XLA path).
     """
     out = {}
     for sub, tleaf in template.items():
@@ -76,10 +80,12 @@ def _restore_opt_state(flat, native_prefix, other_prefix, template,
         if nk in flat:
             arr = np.asarray(flat[nk])
             if arr.shape != np.shape(tleaf):
-                raise ValueError(
-                    f"checkpoint leaf {nk!r} has shape {arr.shape}, "
-                    f"expected {np.shape(tleaf)} — written by an "
-                    "incompatible layout/version")
+                if repad is None:
+                    raise ValueError(
+                        f"checkpoint leaf {nk!r} has shape {arr.shape}, "
+                        f"expected {np.shape(tleaf)} — written by an "
+                        "incompatible layout/version")
+                arr = np.where(paymask, repad(arr), np.asarray(tleaf))
         elif ok in flat:
             arr = np.where(paymask, convert(np.asarray(flat[ok])),
                            np.asarray(tleaf))
@@ -260,6 +266,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 raise ValueError(
                     "packed='on' requires num_components <= 127 (the "
                     "packed layout reserves one count lane per slot)")
+            if self.mesh.num_devices > 1:
+                import warnings
+                warnings.warn(
+                    "packed='on' is a single-device engine: the "
+                    f"{self.mesh.num_devices}-device mesh is ignored and "
+                    "training runs on the default device", stacklevel=3)
             return True
         if self.engine != "xla" or self.mesh.num_devices != 1 \
                 or not pk.packable(self.num_components):
@@ -384,12 +396,20 @@ class BPR(MFTrainerBase, PersistenceMixin):
             def unpack_h(a):  # logical-layout (rh, 128) -> (Ip, K)
                 return np.pad(a[:I, :K], ((0, Ip - I), (0, 0)))
 
+            def repad_w(a):  # logical (>=U, K) under other padding
+                return np.pad(a[:U], ((0, Up - U), (0, 0)))
+
+            def repad_h(a):
+                return np.pad(a[:I], ((0, Ip - I), (0, 0)))
+
             mrow_w = np.arange(Up)[:, None] < U
             mrow_h = np.arange(Ip)[:, None] < I
             st["ow"] = _restore_opt_state(flat, "ow", "owp", st["ow"],
-                                          unpack_w, mrow_w, _place_like)
+                                          unpack_w, mrow_w, _place_like,
+                                          repad=repad_w)
             st["oh"] = _restore_opt_state(flat, "oh", "ohp", st["oh"],
-                                          unpack_h, mrow_h, _place_like)
+                                          unpack_h, mrow_h, _place_like,
+                                          repad=repad_h)
 
         def epoch_fn(epoch):
             st = self._state
@@ -422,10 +442,15 @@ class BPR(MFTrainerBase, PersistenceMixin):
         import jax.numpy as jnp
 
         from ..ops import packed as pk
-        from ..ops.packed_epoch import (packed_bpr_epoch, prep_epoch,
-                                        prep_static, unpack_device)
+        from ..ops.packed_epoch import (packed_bpr_epoch, prep_backend,
+                                        prep_epoch, prep_static,
+                                        unpack_device)
         from ..ops.packed_epoch import make_packed_optimizer
 
+        # which host prep drew the negative streams (native mt19937_64 vs
+        # numpy PCG64 — different, equally uniform, deterministic streams;
+        # CYMF_TPU_PREP=numpy forces the portable one)
+        self.prep_backend_ = prep_backend()
         U, I = X.shape
         K = self.num_components
         S, B = u2.shape
@@ -483,11 +508,20 @@ class BPR(MFTrainerBase, PersistenceMixin):
                                    multiple=wrows_w) > 0
             mpay_h = pk.pack_logical(np.ones((I, K), np.float32), K,
                                      multiple=wrows_h) > 0
+            s_k = pk.num_slots(K)
+
+            def repad_wp(a):  # packed layout under a different row pad
+                return pk.pack_array(a[:, :s_k * K].reshape(-1, K)[:U], K,
+                                     multiple=wrows_w)
+
+            def repad_hp(a):  # logical layout under a different row pad
+                return pk.pack_logical(a[:I, :K], K, multiple=wrows_h)
+
             place = lambda a, t: jnp.asarray(a)
             ow = _restore_opt_state(flat, "owp", "ow", ow, pack_w, mpay_w,
-                                    place)
+                                    place, repad=repad_wp)
             oh = _restore_opt_state(flat, "ohp", "oh", oh, pack_h, mpay_h,
-                                    place)
+                                    place, repad=repad_hp)
             publish()
 
         self._last_loss_dev = None

@@ -122,6 +122,32 @@ static PyObject* bpr_prep_epoch_v2(PyObject*, PyObject* args) {
     return nullptr;
   }
   BufferGuard ug{u_buf}, kg{keys_buf};
+  // Validate before the nogil/OpenMP region: malformed sizes would
+  // otherwise read out of bounds, and I <= 0 makes the uniform
+  // distribution's range undefined behavior.
+  if (S <= 0 || B <= 0 || U <= 0 || I <= 0 || slots <= 0 || wrows <= 0 ||
+      tile <= 0 || rh <= 0 || rh % wrows != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v2: dimensions must be positive and "
+                    "rh a multiple of wrows");
+    return nullptr;
+  }
+  if ((I + slots - 1) / slots > rh) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v2: rh must cover ceil(I/slots) "
+                    "physical rows");
+    return nullptr;
+  }
+  if (u_buf.len != S * B * static_cast<int64_t>(sizeof(int32_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v2: u2 buffer length != S*B int32");
+    return nullptr;
+  }
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v2: pos_keys must be int64-sized");
+    return nullptr;
+  }
   const int32_t* u2 = static_cast<const int32_t*>(u_buf.buf);
   const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
   const int64_t nkeys =

@@ -40,11 +40,14 @@ buffers are the next cost after that.  Design:
    (one shuffle before training, `bpr.pyx:104`), so the u- and i-side
    permutations are computed once per fit; only the j side re-sorts.
 
-Semantics are identical to the XLA batch engine (`models/bpr.py`): one
-synchronous update per touched row per step with the summed gradient,
-sparse-Adam touched-row moments derived from the count channel (a row is
-touched iff a live — unmasked — sample hit it), collision masking == the
-reference's skip.
+Semantics match the XLA batch engine (`models/bpr.py`): one synchronous
+update per touched row per step with the summed gradient, collision
+masking == the reference's skip.  One documented measure-zero edge
+differs: the packed engine's touched-row mask is COUNT-based (a row is
+touched iff a live sample hit it — the count channel; this is the
+reference-faithful semantics, `optimizer.pyx:150-160` updates moments per
+touched element), while the XLA engine's is value-based (summed gradient
+!= 0), so they diverge only when live samples' gradients cancel exactly.
 """
 
 from __future__ import annotations
@@ -218,6 +221,19 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
 # host-side preparation
 # ---------------------------------------------------------------------------
 
+def prep_backend() -> str:
+    """Which epoch-prep backend :func:`prep_epoch` uses: ``"native"``
+    (C++ OpenMP pipeline, mt19937_64 stream) or ``"numpy"`` (portable
+    PCG64 stream).  ``CYMF_TPU_PREP=numpy`` forces the numpy stream."""
+    import os
+    if os.environ.get("CYMF_TPU_PREP", "").lower() == "numpy":
+        return "numpy"
+    from ..native import HAVE_NATIVE, _native
+    if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch_v2"):
+        return "native"
+    return "numpy"
+
+
 def _sorted_side(vals2, r_pad, wrows, tile):
     """Per-step sort permutation + folded sorted rows + windows for one
     H side (``vals2`` = item ids, int [S, B]).  The H table is stored in
@@ -261,24 +277,27 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     whole pass runs in ``_native.bpr_prep_epoch`` (OpenMP over steps,
     counting sort) — the TPU-era analogue of the reference's native host
     layer.  The native and numpy paths draw from different (equally
-    uniform) streams; each is deterministic in its seed.
+    uniform) streams; each is deterministic in its seed, but the native
+    stream additionally depends on the platform's
+    ``std::uniform_int_distribution``.  Set ``CYMF_TPU_PREP=numpy`` to
+    force the portable numpy (PCG64) stream — e.g. when a resumed
+    checkpoint must replay the exact stream of a different install — and
+    check :func:`prep_backend` / ``BPR.prep_backend_`` for which one ran.
     """
     S, B = u2.shape
-    if native_seed is not None:
-        from ..native import HAVE_NATIVE, _native
-        if HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch_v2"):
-            u2c = np.ascontiguousarray(u2, np.int32)
-            keys = np.ascontiguousarray(pos_keys, np.int64)
-            # slots=1: the logical H layout's target row IS the item id
-            jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
-                u2c, keys, S, B, num_users, num_items, 1, rh,
-                wrows_h, tile, int(native_seed))
-            return (np.frombuffer(jb, np.int32).reshape(S, B),
-                    np.frombuffer(mb, np.float32).reshape(S, B),
-                    np.frombuffer(pb, np.int32).reshape(S, B),
-                    np.frombuffer(rb, np.int32).reshape(S, B // 128, 128),
-                    np.frombuffer(wb, np.int32).reshape(
-                        S, 2, rh // wrows_h))
+    if native_seed is not None and prep_backend() == "native":
+        from ..native import _native
+        u2c = np.ascontiguousarray(u2, np.int32)
+        keys = np.ascontiguousarray(pos_keys, np.int64)
+        # slots=1: the logical H layout's target row IS the item id
+        jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
+            u2c, keys, S, B, num_users, num_items, 1, rh,
+            wrows_h, tile, int(native_seed))
+        return (np.frombuffer(jb, np.int32).reshape(S, B),
+                np.frombuffer(mb, np.float32).reshape(S, B),
+                np.frombuffer(pb, np.int32).reshape(S, B),
+                np.frombuffer(rb, np.int32).reshape(S, B // 128, 128),
+                np.frombuffer(wb, np.int32).reshape(S, 2, rh // wrows_h))
     j2 = rng.integers(0, num_items, (S, B)).astype(np.int32)
     u64 = u2.astype(np.int64)
     in_data = u64 < num_users

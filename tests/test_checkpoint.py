@@ -153,3 +153,49 @@ def test_packed_on_validation():
         BPR(num_components=128, packed="on")
     with pytest.raises(ValueError):
         BPR(num_components=8, packed="on", engine="pallas")
+
+
+@pytest.mark.parametrize("engine", ["off", "on"])
+def test_bpr_resume_across_row_padding(tmp_path, engine):
+    """A checkpoint whose leaves carry a different row padding (written
+    under another mesh/device count) resumes: tables AND same-engine
+    optimizer leaves slice-and-repad instead of erroring."""
+    X = sparse.random(120, 70, density=0.2, random_state=3, format="csr")
+    X.data[:] = 1.0
+    kw = dict(num_components=6, learning_rate=0.02, batch_size=128,
+              optimizer="adam")
+    p = str(tmp_path / "ck.npz")
+    m1 = BPR(packed=engine, **kw)
+    m1.fit(X, num_epochs=2, verbose=False, seed=7, checkpoint_path=p)
+
+    m2 = BPR(packed=engine, **kw)
+    m2.fit(X, num_epochs=3, verbose=False, seed=7, checkpoint_path=str(
+        tmp_path / "c2.npz"), resume=False)
+
+    # simulate a foreign row padding: 64 extra zero rows on every leaf
+    with np.load(p) as z:
+        flat = {k: z[k] for k in z.files}
+    for k, v in list(flat.items()):
+        if v.ndim == 2:
+            flat[k] = np.pad(v, ((0, 64), (0, 0)))
+    np.savez(p, **flat)
+
+    m3 = BPR(packed=engine, **kw)
+    m3.fit(X, num_epochs=3, verbose=False, seed=7, checkpoint_path=p,
+           resume=True)
+    # epoch 3 trained through the repadded moments identically to an
+    # uninterrupted 3-epoch run
+    np.testing.assert_allclose(m3.W, m2.W, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m3.H, m2.H, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_on_multidevice_warns():
+    """packed='on' on a multi-device mesh trains single-device and says so."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    X = sparse.random(96, 64, density=0.2, random_state=0, format="csr")
+    X.data[:] = 1.0
+    m = BPR(num_components=6, batch_size=128, packed="on")
+    with pytest.warns(UserWarning, match="single-device engine"):
+        m.fit(X, num_epochs=1, verbose=False)

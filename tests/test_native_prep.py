@@ -83,3 +83,46 @@ def test_prep_static_invariants():
         pu = u2[t] // s
         st, ct = window_ranges(pu, rw, 128, 1024)
         assert (winw[t, 0] == st).all() and (winw[t, 1] == ct).all()
+
+
+def test_prep_backend_env_override(monkeypatch):
+    """CYMF_TPU_PREP=numpy forces the portable stream even when the
+    native extension is built, and prep_epoch honors it."""
+    from cymf_tpu.ops.packed_epoch import prep_backend
+    monkeypatch.setenv("CYMF_TPU_PREP", "numpy")
+    assert prep_backend() == "numpy"
+    s, rh, u2, i2, pos_keys = _inputs()
+    rng = np.random.default_rng((11, 0))
+    out = prep_epoch(rng, u2, i2, pos_keys, U, I, K, rh, 128,
+                     native_seed=1234)
+    rng2 = np.random.default_rng((11, 0))
+    ref = prep_epoch(rng2, u2, i2, pos_keys, U, I, K, rh, 128,
+                     native_seed=None)
+    for a, b in zip(out, ref):
+        assert np.array_equal(a, b)
+    monkeypatch.delenv("CYMF_TPU_PREP")
+    assert prep_backend() in ("native", "numpy")
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_prep_validates_inputs():
+    """Malformed arguments raise ValueError before the OpenMP region."""
+    from cymf_tpu.native import _native
+    s, rh, u2, i2, pos_keys = _inputs()
+    u2c = np.ascontiguousarray(u2, np.int32)
+    keys = np.ascontiguousarray(pos_keys, np.int64)
+    with pytest.raises(ValueError):  # u2 length != S*B
+        _native.bpr_prep_epoch_v2(u2c[:, :-1].copy(), keys, S, B, U, I,
+                                  1, rh, 128, 1024, 1)
+    with pytest.raises(ValueError):  # I <= 0 (UB in the distribution)
+        _native.bpr_prep_epoch_v2(u2c, keys, S, B, U, 0, 1, rh, 128,
+                                  1024, 1)
+    with pytest.raises(ValueError):  # rh not a multiple of wrows
+        _native.bpr_prep_epoch_v2(u2c, keys, S, B, U, I, 1, rh, 100,
+                                  1024, 1)
+    with pytest.raises(ValueError):  # rh too small for the catalog
+        _native.bpr_prep_epoch_v2(u2c, keys, S, B, U, I, 1, 128, 128,
+                                  1024, 1)
+    with pytest.raises(ValueError):  # misaligned pos_keys bytes
+        _native.bpr_prep_epoch_v2(u2c, keys.view(np.uint8)[:-4].copy(),
+                                  S, B, U, I, 1, rh, 128, 1024, 1)
