@@ -18,8 +18,23 @@ fully vectorized pipeline: negatives are drawn in one batch with
 ``jax.random``, rejection probes the granule-aligned pair hash set
 (:func:`cymf_tpu.ops.hashset.hashset_contains`, two row-gathers instead of
 a 32-round binary search) with collision *masking*, scoring is one
-``(C, L, K) x (C, K)`` contraction per chunk on the MXU, and all metrics
-are computed in a single fused pass.
+``(C, L, K) x (C, K)`` contraction per chunk on the MXU, ranking is
+``lax.top_k(kmax)`` (every metric numerator only touches ranks <
+``max(k)``, and the denominators are order-invariant sums — no full
+argsort), and all metrics are computed in a single fused pass.  Chunks of
+the same padded shape are stacked and processed by ONE ``lax.map``-scanned
+dispatch (per-chunk dispatch overhead dominates small-table evaluation in
+relay environments).
+
+On a multi-device mesh the per-user work — negative draws, candidate
+scoring, top-k, metrics — is partitioned over users with an explicit
+``shard_map`` (users sharded, tables/hash-set replicated: the per-chunk
+score matrices, not the factor tables, are the memory/FLOP cost of
+evaluation), with a single ``psum`` of the [n_metrics, n_ks] sums as the
+only collective.  Per-device FLOPs shrink ~n-fold
+(``tests/test_sharding_hlo.py``).  The sharded path draws a different
+(equally uniform) negative stream per device, so multi-device metric
+values match single-device statistically, not bitwise.
 
 Fixed reference defects (SURVEY.md §7 "known defects", do-not-replicate):
 
@@ -43,16 +58,16 @@ from .. import config
 from ..ops.hashset import build_pair_hashset, hashset_contains
 from . import metrics as M
 
-_METRIC_FNS = {
-    ("DCG", False): M.dcg_at_k_batch,
-    ("Recall", False): M.recall_at_k_batch,
-    ("MAP", False): M.average_precision_at_k_batch,
-    ("DCG", True): M.dcg_at_k_with_ips_batch,
-    ("Recall", True): M.recall_at_k_with_ips_batch,
-    ("MAP", True): M.average_precision_at_k_with_ips_batch,
+_TOPK_METRIC_FNS = {
+    ("DCG", False): M.dcg_topk_batch,
+    ("Recall", False): M.recall_topk_batch,
+    ("MAP", False): M.average_precision_topk_batch,
+    ("DCG", True): M.dcg_with_ips_topk_batch,
+    ("Recall", True): M.recall_with_ips_topk_batch,
+    ("MAP", True): M.average_precision_with_ips_topk_batch,
 }
 
-NEG_OVERSAMPLE = 4   # candidates drawn per refill round, x num_negatives
+NEG_OVERSAMPLE = 2   # candidates drawn per refill round, x num_negatives
 MAX_FILL_ROUNDS = 64  # safety cap: a user whose positives cover the whole
 #                       catalog has no valid negative (the reference would
 #                       spin forever at evaluator.pyx:106-111); we stop after
@@ -101,13 +116,10 @@ def draw_negatives(user_ids, hs, key, num_items: int, num_negatives: int,
     return neg, neg_valid
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_negatives", "ks", "metric_names", "unbiased"))
-def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
-                    num_negatives: int, ks: tuple, metric_names: tuple,
-                    unbiased: bool):
-    """Metric values for one chunk of users.
+def _chunk_metric_sums(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
+                       num_negatives: int, ks: tuple, metric_names: tuple,
+                       unbiased: bool):
+    """[n_metrics, n_ks] metric SUMS over one chunk of users.
 
     Args:
       W: [U, K] user table;  H: [I, K] item table.
@@ -118,7 +130,7 @@ def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
       props: float[I] per-item propensities.
       key: PRNG key for this chunk's negative draws.
 
-    Returns [n_metrics, n_ks, C] metric values (0 for users w/o positives).
+    Users without test positives contribute 0 (`evaluator.pyx:91-92`).
     """
     C, P = pos_pad.shape
     I = H.shape[0]
@@ -135,30 +147,90 @@ def _evaluate_chunk(W, H, user_ids, pos_pad, pos_valid, hs, props, key, *,
         [pos_valid.astype(W.dtype),
          jnp.zeros((C, num_negatives), W.dtype)], axis=-1)
 
-    # --- score on the MXU and sort descending; invalid slots sink to -inf.
+    # --- score on the MXU; invalid slots sink to -inf.  Only the top
+    # kmax ranks feed any metric numerator (metrics.py top-k forms), so
+    # rank with lax.top_k instead of a full argsort.  Ties resolve to the
+    # lower candidate index in both, so this is exactly the argsort path.
     h = H[cand]                                   # [C, L, K]
     w = W[user_ids]                               # [C, K]
     scores = jnp.einsum("clk,ck->cl", h, w,
                         preferred_element_type=jnp.float32)
     scores = jnp.where(valid, scores, -jnp.inf)
-    sort_idx = jnp.argsort(-scores, axis=-1)
-    labels_sorted = jnp.take_along_axis(labels, sort_idx, axis=-1)
-
+    kmax = min(max(max(ks), 1), int(cand.shape[-1]))
+    _, top_idx = jax.lax.top_k(scores, kmax)
+    labels_top = jnp.take_along_axis(labels, top_idx, axis=-1)
+    # order-invariant denominators over the FULL candidate list
+    total_pos = jnp.sum(pos_valid, axis=-1).astype(W.dtype)
     if unbiased:
-        p = props[cand]
-        p_sorted = jnp.take_along_axis(p, sort_idx, axis=-1)
-    else:
-        p_sorted = None
+        props_top = jnp.take_along_axis(props[cand], top_idx, axis=-1)
+        sn_total = jnp.sum(
+            jnp.where(pos_valid, 1.0 / props[pos_pad], 0.0), axis=-1)
 
     out = []
     for name in metric_names:
-        fn = _METRIC_FNS[(name, unbiased)]
+        fn = _TOPK_METRIC_FNS[(name, unbiased)]
         row = []
         for k in ks:
-            row.append(fn(labels_sorted, p_sorted, k) if unbiased
-                       else fn(labels_sorted, k))
+            row.append(fn(labels_top, props_top, sn_total, k) if unbiased
+                       else fn(labels_top, total_pos, k))
         out.append(jnp.stack(row))
-    return jnp.stack(out)  # [n_metrics, n_ks, C]
+    return jnp.sum(jnp.stack(out), axis=-1)  # [n_metrics, n_ks]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_negatives", "ks", "metric_names", "unbiased"))
+def _evaluate_group(W, H, uids_g, pos_g, valid_g, hs, props, keys_g, *,
+                    num_negatives: int, ks: tuple, metric_names: tuple,
+                    unbiased: bool):
+    """Metric sums over a [G, C, ...] stack of same-shape chunks — ONE
+    dispatch per shape group (sequential ``lax.map`` over chunks)."""
+    def one(args):
+        uids, pos, valid, key = args
+        return _chunk_metric_sums(
+            W, H, uids, pos, valid, hs, props, key,
+            num_negatives=num_negatives, ks=ks, metric_names=metric_names,
+            unbiased=unbiased)
+
+    return jnp.sum(jax.lax.map(one, (uids_g, pos_g, valid_g, keys_g)),
+                   axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_group_eval(mesh_ctx, num_negatives: int, ks: tuple,
+                        metric_names: tuple, unbiased: bool):
+    """Jitted shard_map group evaluator: users sharded over the mesh axis,
+    tables/hash-set replicated, one [n_metrics, n_ks] psum per group.
+    Each device folds its axis index into the chunk key, so its negative
+    stream is independent (statistically — not bitwise — equal to the
+    single-device stream)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import ROW_AXIS
+
+    def device_eval(W, H, uids_g, pos_g, valid_g, hs, props, keys_g):
+        ax = jax.lax.axis_index(ROW_AXIS)
+
+        def one(args):
+            uids, pos, valid, key = args
+            return _chunk_metric_sums(
+                W, H, uids, pos, valid, hs, props,
+                jax.random.fold_in(key, ax),
+                num_negatives=num_negatives, ks=ks,
+                metric_names=metric_names, unbiased=unbiased)
+
+        local = jnp.sum(jax.lax.map(one, (uids_g, pos_g, valid_g, keys_g)),
+                        axis=0)
+        return jax.lax.psum(local, ROW_AXIS)
+
+    rep = P()
+    users2 = P(None, ROW_AXIS)
+    users3 = P(None, ROW_AXIS, None)
+    fn = jax.shard_map(
+        device_eval, mesh=mesh_ctx.mesh,
+        in_specs=(rep, rep, users2, users3, users3, rep, rep, rep),
+        out_specs=rep, check_vma=False)
+    return jax.jit(fn)
 
 
 class Evaluator:
@@ -236,16 +308,56 @@ class Evaluator:
             chunks.append((sel, pos_pad, pos_valid))
         return chunks
 
-    def _to_device(self):
-        if self._device_state is None:
+    def _group_chunks(self, pad_multiple: int):
+        """Stack same-shape chunks into [G, C, ...] groups (one dispatch
+        per group).  Chunks are user-padded to ``pad_multiple`` (the mesh
+        size) with dummy users whose all-False positive masks contribute
+        exactly 0 to every metric sum."""
+        by_shape = {}
+        for ci, (sel, pos_pad, pos_valid) in enumerate(self._user_chunks):
+            C = len(sel)
+            Cp = -(-max(C, 1) // pad_multiple) * pad_multiple
+            if Cp != C:
+                sel = np.pad(sel, (0, Cp - C))
+                pos_pad = np.pad(pos_pad, ((0, Cp - C), (0, 0)))
+                pos_valid = np.pad(pos_valid, ((0, Cp - C), (0, 0)))
+            by_shape.setdefault(pos_pad.shape, []).append(
+                (sel, pos_pad, pos_valid, ci))
+        groups = []
+        for shape, items in by_shape.items():
+            groups.append((
+                np.stack([s for s, _, _, _ in items]),
+                np.stack([p for _, p, _, _ in items]),
+                np.stack([v for _, _, v, _ in items]),
+                np.asarray([c for _, _, _, c in items], np.int32)))
+        return groups
+
+    def _to_device(self, mesh):
+        """Device-resident evaluation state for ``mesh``: stacked chunk
+        groups (user dim sharded over the mesh when multi-device), the
+        rejection hash set and propensities replicated."""
+        n = mesh.num_devices
+        if self._device_state is None or self._device_state["n"] != n:
             up = self.user_positives.tocoo()
+            put_rep = mesh.put_replicated if n > 1 else jnp.asarray
+            if n > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import ROW_AXIS
+                sh2 = NamedSharding(mesh.mesh, P(None, ROW_AXIS))
+                sh3 = NamedSharding(mesh.mesh, P(None, ROW_AXIS, None))
+                put2 = functools.partial(jax.device_put, device=sh2)
+                put3 = functools.partial(jax.device_put, device=sh3)
+            else:
+                put2 = put3 = jnp.asarray
             self._device_state = dict(
-                chunks=[(jnp.asarray(uids), jnp.asarray(pp),
-                         jnp.asarray(pv))
-                        for uids, pp, pv in self._user_chunks],
-                hs=build_pair_hashset(up.row, up.col),
-                props=jnp.asarray(self.propensity_scores,
-                                  dtype=config.param_dtype()),
+                n=n,
+                groups=[(put2(u), put3(p), put3(v), jnp.asarray(c))
+                        for u, p, v, c in self._group_chunks(n)],
+                hs=jax.tree_util.tree_map(
+                    put_rep, build_pair_hashset(up.row, up.col)),
+                props=put_rep(np.asarray(self.propensity_scores,
+                                         dtype=config.param_dtype())),
             )
         return self._device_state
 
@@ -255,21 +367,30 @@ class Evaluator:
         ks = tuple(int(k) for k in self.k)
         metric_names = tuple(self.metrics)
 
+        from ..parallel.mesh import current_mesh
+        mesh = current_mesh()
+        n = mesh.num_devices
         U, I = self.X.shape
-        Wd = jnp.asarray(W, dtype=config.param_dtype())
-        Hd = jnp.asarray(H, dtype=config.param_dtype())
-        st = self._to_device()
+        put_rep = mesh.put_replicated if n > 1 else jnp.asarray
+        Wd = put_rep(np.asarray(W, dtype=config.param_dtype()))
+        Hd = put_rep(np.asarray(H, dtype=config.param_dtype()))
+        st = self._to_device(mesh)
+        if n > 1:
+            run = _sharded_group_eval(mesh, self.num_negatives, ks,
+                                      metric_names, self.unbiased)
+        else:
+            run = functools.partial(
+                _evaluate_group, num_negatives=self.num_negatives, ks=ks,
+                metric_names=metric_names, unbiased=self.unbiased)
 
         key = jax.random.PRNGKey(seed)
         sums = np.zeros((len(metric_names), len(ks)), dtype=np.float64)
-        for ci, (uids, pos_pad, pos_valid) in enumerate(st["chunks"]):
-            vals = _evaluate_chunk(
-                Wd, Hd, uids, pos_pad, pos_valid,
-                st["hs"], st["props"],
-                jax.random.fold_in(key, ci),
-                num_negatives=self.num_negatives, ks=ks,
-                metric_names=metric_names, unbiased=self.unbiased)
-            sums += np.asarray(vals, dtype=np.float64).sum(axis=-1)
+        for uids_g, pos_g, valid_g, cis in st["groups"]:
+            keys_g = jax.vmap(functools.partial(jax.random.fold_in, key))(
+                cis)
+            sums += np.asarray(
+                run(Wd, Hd, uids_g, pos_g, valid_g, st["hs"], st["props"],
+                    keys_g), dtype=np.float64)
 
         buff = {}
         for mi, name in enumerate(metric_names):

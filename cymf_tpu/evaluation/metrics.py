@@ -38,6 +38,9 @@ __all__ = [
     "dcg_at_k_batch", "recall_at_k_batch", "average_precision_at_k_batch",
     "dcg_at_k_with_ips_batch", "recall_at_k_with_ips_batch",
     "average_precision_at_k_with_ips_batch",
+    "dcg_topk_batch", "recall_topk_batch", "average_precision_topk_batch",
+    "dcg_with_ips_topk_batch", "recall_with_ips_topk_batch",
+    "average_precision_with_ips_topk_batch",
 ]
 
 
@@ -111,6 +114,59 @@ def average_precision_at_k_with_ips_batch(labels, props, k: int):
     score = jnp.sum(labels * m * sncum / ranks, axis=-1)
     sn = jnp.sum(wl, axis=-1)
     return _safe_div(score, sn)
+
+
+# ---------------------------------------------------------------------------
+# Top-k-truncated variants (evaluator hot path).
+#
+# Every numerator above only touches ranks < max(k, 1); the denominators
+# (#positives in the candidate list, or the IPS self-normalizer
+# ``sum_i y[i]/p[i]``) are order-invariant sums the caller can compute
+# WITHOUT sorting.  So the evaluator only needs ``lax.top_k(scores, kmax)``
+# — O(L·kmax) — instead of a full O(L log L) argsort.  ``labels_topk`` /
+# ``props_topk`` are the top-``kmax`` slots (kmax >= max(k, 1));
+# ``total_pos`` / ``sn_total`` are the full-list denominators.
+# ---------------------------------------------------------------------------
+
+def dcg_topk_batch(labels_topk, total_pos, k: int):
+    w = _dcg_weights(labels_topk.shape[-1], k, labels_topk.dtype)
+    return _safe_div(jnp.sum(labels_topk * w, axis=-1), total_pos)
+
+
+def recall_topk_batch(labels_topk, total_pos, k: int):
+    m = _topk_mask(labels_topk.shape[-1], k, labels_topk.dtype)
+    return _safe_div(jnp.sum(labels_topk * m, axis=-1), total_pos)
+
+
+def average_precision_topk_batch(labels_topk, total_pos, k: int):
+    m = _topk_mask(labels_topk.shape[-1], k, labels_topk.dtype)
+    ranks = jnp.asarray(np.arange(labels_topk.shape[-1]) + 1.0,
+                        dtype=labels_topk.dtype)
+    cum = jnp.cumsum(labels_topk, axis=-1)
+    return _safe_div(jnp.sum(labels_topk * m * cum / ranks, axis=-1),
+                     total_pos)
+
+
+def dcg_with_ips_topk_batch(labels_topk, props_topk, sn_total, k: int):
+    w = _dcg_weights(labels_topk.shape[-1], k, labels_topk.dtype)
+    return _safe_div(jnp.sum(labels_topk / props_topk * w, axis=-1),
+                     sn_total)
+
+
+def recall_with_ips_topk_batch(labels_topk, props_topk, sn_total, k: int):
+    m = _topk_mask(labels_topk.shape[-1], k, labels_topk.dtype)
+    return _safe_div(jnp.sum(labels_topk / props_topk * m, axis=-1),
+                     sn_total)
+
+
+def average_precision_with_ips_topk_batch(labels_topk, props_topk, sn_total,
+                                          k: int):
+    m = _topk_mask(labels_topk.shape[-1], k, labels_topk.dtype)
+    ranks = jnp.asarray(np.arange(labels_topk.shape[-1]) + 1.0,
+                        dtype=labels_topk.dtype)
+    sncum = jnp.cumsum(labels_topk / props_topk, axis=-1)
+    return _safe_div(jnp.sum(labels_topk * m * sncum / ranks, axis=-1),
+                     sn_total)
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,62 @@ def test_glove_same_result_1dev_vs_8dev():
     W1 = run(jax.devices()[:1])
     W8 = run(jax.devices())
     np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+
+
+def test_evaluator_sharded_matches_single_device():
+    """Sharded evaluation (users partitioned over the mesh) must equal the
+    single-device result when metrics are insensitive to which negatives
+    were drawn (every positive outscores every negative by construction);
+    the per-device negative streams differ, the metrics must not."""
+    from scipy import sparse
+
+    from cymf_tpu.evaluation.evaluator import Evaluator
+
+    rng = np.random.default_rng(5)
+    U, I, K = 100, 60, 6
+    X_test = sparse.random(U, I, density=0.05, random_state=2, format="csr",
+                           data_rvs=lambda n: np.ones(n))
+    X_train = sparse.random(U, I, density=0.1, random_state=3, format="csr",
+                            data_rvs=lambda n: np.ones(n))
+    W = rng.normal(size=(U, K))
+    # all-ties scores: stable top-k ranks candidates in list order, i.e.
+    # positives first — every metric becomes a deterministic function of
+    # the per-user positive count, independent of the negative draws
+    H = np.zeros((I, K))
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            ev = Evaluator(X_test, X_train, k=[1, 5], num_negatives=20)
+            return ev.evaluate(W, H, seed=11)
+
+    r1 = run(jax.devices()[:1])
+    r8 = run(jax.devices())
+    assert r1.keys() == r8.keys()
+    for key in r1:
+        np.testing.assert_allclose(r8[key], r1[key], rtol=1e-6, atol=1e-7)
+
+
+def test_recommend_sharded_matches_single_device():
+    """The distributed top-k (H row-sharded, per-shard top-k + merge) is
+    bitwise-identical to the single-device full-row top-k, including
+    exclusion masking and non-divisible catalog padding."""
+    from scipy import sparse
+
+    from cymf_tpu import recommend
+
+    rng = np.random.default_rng(7)
+    W = rng.normal(size=(37, 5))
+    H = rng.normal(size=(53, 5))  # not divisible by 8 -> padded shards
+    X = sparse.random(37, 53, density=0.2, random_state=1, format="csr",
+                      data_rvs=lambda n: np.ones(n))
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            return recommend(W, H, k=7, exclude=X)
+
+    s1, i1 = run(jax.devices()[:1])
+    s8, i8 = run(jax.devices())
+    np.testing.assert_array_equal(i8, i1)
+    # score values may differ in the last ulp (different matmul shapes
+    # compile to different reduction schedules); ranking must not
+    np.testing.assert_allclose(s8, s1, rtol=1e-6)

@@ -88,3 +88,119 @@ def test_per_device_flops_shrink_with_mesh(compiled8):
     f1 = c1.cost_analysis()["flops"]
     f8 = compiled8.cost_analysis()["flops"]
     assert f8 < 0.55 * f1, (f1, f8)
+
+
+# ---------------------------------------------------------------------------
+# Sharded evaluator / recommender (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+
+EU, EI, EK, EC, EG, EP, ENEG = 4096, 512, 16, 1024, 2, 8, 100
+
+
+def _eval_compiled(n_devices):
+    from cymf_tpu.evaluation.evaluator import (_evaluate_group,
+                                               _sharded_group_eval)
+    from cymf_tpu.parallel.mesh import MeshContext
+    import functools as ft
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(EU, EK)), jnp.float32)
+    H = jnp.asarray(rng.normal(size=(EI, EK)), jnp.float32)
+    uids = jnp.asarray(rng.integers(0, EU, (EG, EC)), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, EI, (EG, EC, EP)), jnp.int32)
+    valid = jnp.asarray(rng.random((EG, EC, EP)) < 0.5)
+    hs = jax.tree_util.tree_map(
+        jnp.asarray, build_pair_hashset(np.arange(EU, dtype=np.int64),
+                                        np.zeros(EU, np.int64)))
+    props = jnp.full((EI,), 0.5, jnp.float32)
+    keys = jax.vmap(ft.partial(jax.random.fold_in,
+                               jax.random.PRNGKey(0)))(jnp.arange(EG))
+    statics = dict(num_negatives=ENEG, ks=(5,), metric_names=("DCG",),
+                   unbiased=False)
+    if n_devices == 1:
+        fn = jax.jit(ft.partial(_evaluate_group, **statics))
+    else:
+        fn = _sharded_group_eval(mesh, ENEG, (5,), ("DCG",), False)
+    return fn.lower(W, H, uids, pos, valid, hs, props, keys).compile()
+
+
+@pytest.fixture(scope="module")
+def eval_compiled8():
+    assert len(jax.devices()) >= 8
+    return _eval_compiled(8)
+
+
+def test_evaluator_flops_shrink_with_mesh(eval_compiled8):
+    """Per-device evaluation FLOPs must shrink with the mesh: the scoring
+    einsum, top-k and metric math are partitioned over users."""
+    f1 = _eval_compiled(1).cost_analysis()["flops"]
+    f8 = eval_compiled8.cost_analysis()["flops"]
+    assert f8 < 0.3 * f1, (f1, f8)
+
+
+def test_evaluator_only_metric_sized_collectives(eval_compiled8):
+    """The only collective payload is the [n_metrics, n_ks] psum (plus
+    scalar reductions) — never users- or table-sized."""
+    text = eval_compiled8.as_text()
+    offenders = []
+    for line in text.splitlines():
+        if not any(c in line for c in _COLLECTIVES):
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line):
+            dims = [int(d) for d in shape.split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            if elems > 64:  # [n_metrics, n_ks] sums only
+                offenders.append(line.strip()[:160])
+    assert not offenders, "oversized collectives:\n" + "\n".join(offenders)
+
+
+RU, RI, RK, RTOPK = 512, 2048, 16, 10
+
+
+def _rec_compiled(n_devices):
+    from cymf_tpu.evaluation.recommend import _topk_chunk, _topk_sharded
+    from cymf_tpu.parallel.mesh import MeshContext
+    import functools as ft
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(RU, RK)), jnp.float32)
+    H = jnp.asarray(rng.normal(size=(RI, RK)), jnp.float32)
+    excl = jnp.asarray(rng.integers(0, RI, (RU, 4)), jnp.int32)
+    ev = jnp.ones((RU, 4), bool)
+    if n_devices == 1:
+        fn = jax.jit(ft.partial(_topk_chunk, k=RTOPK))
+    else:
+        fn = _topk_sharded(mesh, RTOPK, RI)
+    return fn.lower(W, H, excl, ev).compile()
+
+
+@pytest.fixture(scope="module")
+def rec_compiled8():
+    assert len(jax.devices()) >= 8
+    return _rec_compiled(8)
+
+
+def test_recommend_flops_shrink_with_mesh(rec_compiled8):
+    """The full-catalog scoring matmul partitions over the item axis."""
+    f1 = _rec_compiled(1).cost_analysis()["flops"]
+    f8 = rec_compiled8.cost_analysis()["flops"]
+    assert f8 < 0.3 * f1, (f1, f8)
+
+
+def test_recommend_only_topk_sized_collectives(rec_compiled8):
+    """Merge comm is O(users x n x k) — never catalog-sized (RU x RI
+    scores) nor table-sized (RI x K)."""
+    text = rec_compiled8.as_text()
+    cap = RU * 8 * RTOPK * 2  # gathered per-shard winners (values + ids)
+    offenders = []
+    for line in text.splitlines():
+        if not any(c in line for c in _COLLECTIVES):
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line):
+            dims = [int(d) for d in shape.split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            if elems > cap:
+                offenders.append(line.strip()[:160])
+    assert not offenders, "oversized collectives:\n" + "\n".join(offenders)
