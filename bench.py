@@ -75,7 +75,8 @@ def bench_bpr_packed():
     wrows_w, wrows_h = 512, 512
     rw = pk.packed_rows(U, K, multiple=wrows_w)
     rh = pk.logical_rows(I, multiple=wrows_h)
-    winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+    winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w,
+                                                wrows_h)
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
@@ -89,7 +90,8 @@ def bench_bpr_packed():
     opt = make_packed_optimizer("adam", 0.001)
     ow, oh = opt.init(Wp), opt.init(Hp)
     args = [jnp.asarray(x) for x in
-            (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw)]
+            (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw,
+             wstart)]
     n_valid = jnp.asarray(S * B, jnp.int32)
     interpret = jax.default_backend() != "tpu"
 

@@ -20,7 +20,7 @@ from scipy import sparse
 from tqdm import tqdm
 
 from .. import config
-from ..parallel.mesh import MeshContext, current_mesh
+from ..parallel.mesh import MeshContext, current_mesh, fetch_to_host
 
 
 def as_csr(X) -> sparse.csr_matrix:
@@ -109,7 +109,7 @@ class MFTrainerBase:
     @property
     def W(self):
         if self._state is not None:
-            return np.asarray(self._state["W"][:self._num_users])
+            return fetch_to_host(self._state["W"])[:self._num_users]
         return self._W_host
 
     @W.setter
@@ -120,7 +120,7 @@ class MFTrainerBase:
     @property
     def H(self):
         if self._state is not None:
-            return np.asarray(self._state["H"][:self._num_items])
+            return fetch_to_host(self._state["H"])[:self._num_items]
         return self._H_host
 
     @H.setter
@@ -132,15 +132,15 @@ class MFTrainerBase:
         """Setting a table by hand invalidates device state; keep both host
         copies first so the untouched table survives."""
         if self._state is not None:
-            self._W_host = np.asarray(self._state["W"][:self._num_users])
-            self._H_host = np.asarray(self._state["H"][:self._num_items])
+            self._W_host = fetch_to_host(self._state["W"])[:self._num_users]
+            self._H_host = fetch_to_host(self._state["H"])[:self._num_items]
             self._state = None
 
     def _finalize_fit(self):
         """Materialize learned tables to host and drop device state."""
         if self._state is not None:
-            w = np.asarray(self._state["W"][:self._num_users])
-            h = np.asarray(self._state["H"][:self._num_items])
+            w = fetch_to_host(self._state["W"])[:self._num_users]
+            h = fetch_to_host(self._state["H"])[:self._num_items]
             self._state = None
             self._W_host, self._H_host = w, h
 

@@ -463,8 +463,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
         rh = pk.logical_rows(I, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w,
-                                            wrows_h)
+        winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
+                                                    wrows_w, wrows_h)
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
 
@@ -479,6 +479,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
         rowsi_d = jnp.asarray(rowsi)
         wini_d = jnp.asarray(wini)
         winw_d = jnp.asarray(winw)
+        wstart_d = jnp.asarray(wstart)
         n_valid = jnp.asarray(N, jnp.int32)
 
         def publish():
@@ -537,7 +538,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
             Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
                 Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
                 jnp.asarray(j2), jnp.asarray(mask), jnp.asarray(sj),
-                jnp.asarray(rowsj), jnp.asarray(winj), winw_d, n_valid,
+                jnp.asarray(rowsj), jnp.asarray(winj), winw_d, wstart_d,
+                n_valid,
                 opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)

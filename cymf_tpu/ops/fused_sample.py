@@ -128,6 +128,167 @@ def _bpr_sample_kernel(du, di, dj, sw, q, lossp, *, K, s, cb, wd,
     q[:] = sig * wu + mcol * qk
 
 
+# ---------------------------------------------------------------------------
+# v5: W gather folded into the kernel (windowed one-hot expansion)
+# ---------------------------------------------------------------------------
+
+# W rows DMA'd per sample tile.  A tile of `tile` u-sorted samples spans
+# at most min(ceil(tile / s) + 1, rw) packed rows; the worst supported
+# case (s=2, tile=512) spans 257, so 264 (8-sublane multiple) always
+# covers it.  Tables smaller than this use the whole table as the window.
+WROWS_A = 264
+
+
+def _bpr_sample_kernel_v5(wstart_ref, rowsw, wp_hbm, di, dj, sw, q, lossp,
+                          wbuf, sem, *, K, s, cb, wd, tile, wrows_a,
+                          interpret):
+    """Per-tile: DMA the tile's W row window, expand per-sample packed W
+    rows on the MXU (one-hot contraction — replaces the XLA B-row gather),
+    then the v4 sample math.  The mask/slot decoration rides on the
+    j-stream's dead lanes (see :func:`bpr_sample_phase_v5`)."""
+    t = pl.program_id(0)
+    groups = tile // LANES
+
+    cs = wstart_ref[t]
+    wcopy = pltpu.make_async_copy(wp_hbm.at[pl.ds(cs, wrows_a), :], wbuf,
+                                  sem)
+    wcopy.start()
+
+    if interpret:
+        def roll(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def roll(x, shift):
+            return pltpu.roll(x, shift % LANES, axis=1)
+
+    Di, Djr = di[:], dj[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, Di.shape, 1)
+    paymask = (lane < K).astype(jnp.float32)
+    cmask = ((lane >= cb) & (lane < cb + s)).astype(jnp.float32)
+    slotcol = Djr * cmask                 # mask * onehot(slot) columns
+    hi = Di
+    hj = Djr * paymask                    # strip the decoration lanes
+
+    # --- W expansion: hot[r, b] = (phys[b] == cs + r), one deep MXU
+    # contraction over the window rows; f32 exactness via the bf16 hi+lo
+    # split (one-hot entries are exact in bf16).
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows_a, LANES), 0) + cs
+    pr = rowsw[pl.ds(t * groups, groups), :]
+    hot = jnp.concatenate(
+        [(pr[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
+         for a in range(groups)], axis=1)               # (wrows_a, tile)
+    wcopy.wait()
+    w32 = wbuf[...]
+    whi = w32.astype(jnp.bfloat16)
+    wlo = (w32 - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+    Du_e = jax.lax.dot_general(
+        jnp.concatenate([hot, hot], axis=0),
+        jnp.concatenate([whi, wlo], axis=0),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (tile, 128)
+    Du = Du_e * (lane < cb).astype(jnp.float32) + slotcol
+
+    # --- v4 sample math on the reconstructed decorated buffer
+    def compact(D):
+        acc = D[:, cb:cb + 1] * D
+        for c in range(1, s):
+            acc = acc + D[:, cb + c:cb + c + 1] * roll(D, -c * K)
+        return acc * paymask
+
+    wu = compact(Du)
+    diff = hi - hj
+    x = jnp.sum(wu * diff, axis=1, keepdims=True)
+    sig = jax.nn.sigmoid(-x)
+    mcol = jnp.sum(Du * cmask, axis=1, keepdims=True)
+    l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1, keepdims=True)
+    loss = (-jax.nn.log_sigmoid(x) + wd * l2) * mcol
+
+    @pl.when(t == 0)
+    def _init():
+        lossp[:] = jnp.zeros_like(lossp)
+
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    l8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    oh00 = ((r8 == 0) & (l8 == 0)).astype(jnp.float32)
+    lossp[:] = lossp[:] + jnp.sum(loss) * oh00
+
+    def placed(D, vals):
+        out = D * cmask + D[:, cb:cb + 1] * vals
+        for c in range(1, s):
+            out = out + D[:, cb + c:cb + c + 1] * roll(vals, c * K)
+        return out
+
+    sw[:] = placed(Du, sig * diff)
+    qk = (lane == K).astype(jnp.float32)
+    q[:] = sig * wu + mcol * qk
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "wd", "interpret", "tile"))
+def bpr_sample_phase_v5(Wp, wstart, rowsw, Di, Dj_dec, *, K: int, wd: float,
+                        interpret=False, tile: int = TILE):
+    """v5 sample phase: the W-side table gather happens INSIDE the kernel.
+
+    Instead of an XLA B-row gather of ``Wp[phys_u]`` (per-row issue-bound,
+    plus a full (B, 128) HBM round-trip), each tile DMAs its
+    :data:`WROWS_A`-row window of the packed W table (u is sorted, so a
+    tile's rows are contiguous) and expands per-sample rows with a one-hot
+    MXU contraction.  The mask/slot decoration that v4 carried on the
+    gathered W stream moves to the j stream's dead lanes
+    (``decorate(Hp[j], slot, mf, K)`` — the logical H layout leaves lanes
+    ``[cb, cb+s)`` free).
+
+    Args:
+      Wp: (rw, 128) packed user table (stays in HBM).
+      wstart: int32[B/tile] per-tile window start rows
+        (``clip(phys[t*tile], 0, rw - WROWS_A)``, host-computed).
+      rowsw: int32[B/128, 128] lane-major folded per-sample physical rows.
+      Di: (B, 128) gathered item rows ``Hp[i]``.
+      Dj_dec: (B, 128) gathered+decorated negative rows.
+
+    Returns (SW, Q, loss) exactly as :func:`bpr_sample_phase`.
+    """
+    B = Di.shape[0]
+    if B % tile:
+        raise ValueError("B must be a multiple of tile")
+    nT = B // tile
+    s, cb = pk.num_slots(K), pk.count_base(K)
+    if s < 2:
+        raise ValueError("v5 expansion requires >= 2 slots per row")
+    rw = Wp.shape[0]
+    wrows_a = min(WROWS_A, rw)
+    if wrows_a < min(-(-tile // s) + 1, rw):
+        raise ValueError("expansion window cannot cover a sample tile")
+    kern = functools.partial(_bpr_sample_kernel_v5, K=int(K), s=s, cb=cb,
+                             wd=float(wd), tile=tile, wrows_a=wrows_a,
+                             interpret=interpret)
+    sample_spec = pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nT,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
+                  pl.BlockSpec(memory_space=pl.ANY),       # Wp
+                  pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
+                               memory_space=pltpu.VMEM),   # Di
+                  pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
+                               memory_space=pltpu.VMEM)],  # Dj_dec
+        out_specs=[pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
+                                memory_space=pltpu.VMEM)] * 2 + [
+            pl.BlockSpec((8, LANES), lambda t, w: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((wrows_a, LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, LANES), jnp.float32)] * 2 + [
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32)],
+        interpret=interpret,
+    )(wstart, rowsw, Wp, Di, Dj_dec)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("K", "wd", "interpret", "tile"))
 def bpr_sample_phase(Du, Di, Dj, *, K: int, wd: float, interpret=False,

@@ -59,8 +59,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import packed as pk
-from .fused_sample import bpr_sample_phase, decorate
-from .sorted_accum import sorted_accum, window_ranges
+from .fused_sample import (TILE as SAMPLE_TILE, WROWS_A, bpr_sample_phase,
+                           bpr_sample_phase_v5, decorate)
+from .sorted_accum import sorted_accum, sorted_accum_dual, window_ranges
 
 TILE = 1024
 
@@ -149,9 +150,9 @@ def _pad_lanes(a):
                               "precision"))
 def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                      rowsi_steps, wini, j_steps, mask_steps, sj_steps,
-                     rowsj_steps, winj, winw, n_valid, *, opt_name, lr,
-                     weight_decay, K, rw, rh, wrows_w=512, wrows_h=512,
-                     interpret=False, precision="split"):
+                     rowsj_steps, winj, winw, wstart_steps, n_valid, *,
+                     opt_name, lr, weight_decay, K, rw, rh, wrows_w=512,
+                     wrows_h=512, interpret=False, precision="split"):
     """One epoch over S pre-sorted minibatches (scan).  ``Wp`` is the
     packed user table (``rw`` physical rows); ``Hp`` is the LOGICAL item
     table (``rh`` = padded item count, payload lanes [0, K), count lane
@@ -167,6 +168,15 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
       mask_steps f32[S, B]       1 = live sample (in-data, no collision)
       sj/rowsj/winj              j-side analogues of si/rowsi/wini
       winw int32[S, 2, NWW]      W-side windows over the sorted users
+      wstart_steps int32[S, B/SAMPLE_TILE]  per-sample-tile W expansion
+                                 window starts (v5 sample kernel)
+
+    v5 (s >= 2): the W table is never gathered by XLA — the sample kernel
+    expands each tile's rows from a DMA'd window (``bpr_sample_phase_v5``),
+    with the mask/slot decoration riding the j-stream's dead lanes, and
+    both H-side accumulations run as ONE dual-stream kernel producing
+    ``Aj - Ai`` with summed counts directly (``sorted_accum_dual``).
+    s == 1 (64 <= K <= 127) falls back to the v4 pipeline.
     """
     opt = make_packed_optimizer(opt_name, lr)
     wd = jnp.float32(weight_decay)
@@ -179,32 +189,40 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
 
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
-        u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww = xs
+        u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww, wstart = xs
         phys_u, slot_u = u // s, u % s
 
         # fused sample phase (Pallas): W slot extraction, score/loss, and
         # W lane placement happen on VMEM tiles — XLA's forms of the same
         # ops each cost a full (B, 128) HBM round-trip (docs/PERF.md).
         # H rows gather raw: the logical layout is already lane-aligned.
-        Du = decorate(Wp[phys_u], slot_u, mf, K)
-        SW, Q, lossp = bpr_sample_phase(
-            Du, Hp[i], Hp[j], K=K, wd=weight_decay, interpret=interpret)
+        if s >= 2:
+            Dj = decorate(Hp[j], slot_u, mf, K)
+            SW, Q, lossp = bpr_sample_phase_v5(
+                Wp, wstart, _fold_rows(phys_u), Hp[i], Dj, K=K,
+                wd=weight_decay, interpret=interpret)
+        else:
+            Du = decorate(Wp[phys_u], slot_u, mf, K)
+            SW, Q, lossp = bpr_sample_phase(
+                Du, Hp[i], Hp[j], K=K, wd=weight_decay, interpret=interpret)
         loss_step = lossp[0, 0]
 
         Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
                  wrows=wrows_w)
-        Ai = acc(rowsi, Q[si], wi[0], wi[1], r_pad=rh, wrows=wrows_h)
-        Aj = acc(rowsj, Q[sj], wj[0], wj[1], r_pad=rh, wrows=wrows_h)
-
         gw, nw = pk.split_counts(Aw, K)
         nwE = pk.expand_counts(nw, K)
         gbw = _pad_lanes(-gw + wd * nwE * Wp[:, :cb])
         mw = _pad_lanes(nwE > 0)
         Wp, ow = opt.update(Wp, ow, gbw, mw, K)
 
-        # logical H: payload lanes [0, K), live-sample counts at lane K
-        nh = Ai[:, K:K + 1] + Aj[:, K:K + 1]
-        gbh = ((Aj - Ai) + wd * nh * Hp) * payf
+        # logical H: payload lanes [0, K), live-sample counts at lane K.
+        # One dual-stream kernel yields D = Aj - Ai with counts summed.
+        D = sorted_accum_dual(
+            rowsi, Q[si], wi[0], wi[1], rowsj, Q[sj], wj[0], wj[1],
+            r_pad=rh, neg_lanes=K, wrows=wrows_h, tile=TILE,
+            interpret=interpret, precision=precision)
+        nh = D[:, K:K + 1]
+        gbh = (D + wd * nh * Hp) * payf
         mh = (nh > 0) & payb
         Hp, oh = opt.update(Hp, oh, gbh, mh, K)
         return (Wp, Hp, ow, oh, loss_acc + loss_step), None
@@ -213,7 +231,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
         step, init, (u_steps, i_steps, si_steps, rowsi_steps, wini,
                      j_steps, mask_steps, sj_steps, rowsj_steps, winj,
-                     winw))
+                     winw, wstart_steps))
     return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
@@ -253,16 +271,25 @@ def _sorted_side(vals2, r_pad, wrows, tile):
 
 def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
                 wrows_h: int, tile: int = TILE):
-    """Once per fit: W-side windows (u is pre-sorted) and the full i-side
-    prep (batch composition is fixed across epochs, `bpr.pyx:104`)."""
+    """Once per fit: W-side windows (u is pre-sorted), the per-sample-tile
+    W expansion window starts (v5 sample kernel), and the full i-side prep
+    (batch composition is fixed across epochs, `bpr.pyx:104`).
+
+    Returns ``(winw, wstart, si, rowsi, wini)``."""
     S, B = u2.shape
     s = pk.num_slots(K)
+    nT = B // SAMPLE_TILE
     winw = np.empty((S, 2, rw // wrows_w), np.int32)
+    wstart = np.empty((S, nT), np.int32)
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
         winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
+        # a SAMPLE_TILE tile of u-sorted samples spans < WROWS_A packed
+        # rows, so each tile's expansion window starts at its first row
+        wstart[t] = np.clip(pu[::SAMPLE_TILE], 0,
+                            max(rw - WROWS_A, 0)).astype(np.int32)
     si, rowsi, wini = _sorted_side(i2, rh, wrows_h, tile)
-    return winw, si, rowsi, wini
+    return winw, wstart, si, rowsi, wini
 
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,

@@ -151,6 +151,136 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
     jax.lax.fori_loop(0, pl.cdiv(nchunks, 2), body, 0)
 
 
+def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
+                       gi_hbm, gj_hbm, out_ref, g_s0, g_s1, sems, *,
+                       wrows: int, tile: int, precision, neg_lanes: int):
+    """Two sorted streams into ONE window buffer: the i (positive-item)
+    stream accumulates with NEGATED payload lanes (< ``neg_lanes``) while
+    its count lane still adds — the output is directly ``Aj - Ai`` with
+    summed live counts, which is exactly the packed BPR step's H-side
+    gradient operand (one output buffer and one combine pass instead of
+    two of each)."""
+    w = pl.program_id(0)
+    base = w * wrows
+    groups = tile // LANES
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)[0:1, :]
+    sv_neg = jnp.where(lanes < neg_lanes, jnp.float32(-1), jnp.float32(1))
+    slots = (g_s0, g_s1)
+
+    for st_ref, ct_ref, rows_vmem, g_hbm, sign in (
+            (si_ref, ci_ref, rows_i, gi_hbm, sv_neg),
+            (sj_ref, cj_ref, rows_j, gj_hbm, None)):
+        start = st_ref[w]
+        count = ct_ref[w]
+        nchunks = pl.cdiv(count, tile)
+
+        def dma(c, slot, start=start, g_hbm=g_hbm):
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(start + c * tile, tile), :],
+                slots[slot], sems.at[slot])
+
+        def process(c, g_ref, start=start, rows_vmem=rows_vmem, sign=sign):
+            rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
+            g32 = g_ref[...]
+            if sign is not None:
+                g32 = g32 * sign
+            if precision == "split":
+                hot = jnp.concatenate(
+                    [(rblock[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
+                     for a in range(groups)], axis=1)
+                ghi = g32.astype(jnp.bfloat16)
+                glo = (g32 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+                out_ref[:] += jax.lax.dot_general(
+                    jnp.concatenate([hot, hot], axis=1),
+                    jnp.concatenate([ghi, glo], axis=0),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                hot = jnp.concatenate(
+                    [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
+                     for a in range(groups)], axis=1)
+                out_ref[:] += jax.lax.dot_general(
+                    hot, g32, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(p, _, dma=dma, process=process, nchunks=nchunks):
+            c0 = p * 2
+
+            @pl.when(c0 + 1 < nchunks)
+            def _():
+                dma(c0 + 1, 1).start()
+
+            dma(c0, 0).wait()
+            process(c0, g_s0)
+
+            @pl.when(c0 + 1 < nchunks)
+            def _():
+                @pl.when(c0 + 2 < nchunks)
+                def _():
+                    dma(c0 + 2, 0).start()
+
+                dma(c0 + 1, 1).wait()
+                process(c0 + 1, g_s1)
+            return 0
+
+        jax.lax.fori_loop(0, pl.cdiv(nchunks, 2), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
+                                             "interpret", "precision",
+                                             "neg_lanes"))
+def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
+                      counts_j, *, r_pad: int, neg_lanes: int,
+                      wrows: int = 512, tile: int = 1024,
+                      interpret: bool = False, precision: str = "highest"):
+    """Fused two-stream accumulation: returns
+    ``scatter(rows_j, gj) - scatter(rows_i, gi * [-1 on lanes < neg_lanes])``
+    ... i.e. per output row, j contributions add, i contributions subtract
+    on the payload lanes (< ``neg_lanes``) and ADD on the remaining lanes
+    (the live-count channel).  Argument contracts are as
+    :func:`sorted_accum`, once per stream.
+    """
+    if r_pad % wrows:
+        raise ValueError("r_pad must be a multiple of wrows")
+    if tile % LANES or (tile // LANES) % 8:
+        raise ValueError("tile must be a multiple of 1024")
+    for r2, g in ((rows_i, gi), (rows_j, gj)):
+        if (r2.shape[0] * LANES) % tile or g.shape[0] % tile:
+            raise ValueError("sample count must be padded to a tile "
+                             "multiple")
+    nw = r_pad // wrows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    prec = "split" if precision == "split" else jax.lax.Precision(precision)
+    return pl.pallas_call(
+        functools.partial(_accum_kernel_dual, wrows=wrows, tile=tile,
+                          precision=prec, neg_lanes=int(neg_lanes)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts_i, counts_i, starts_j, counts_j, rows_i, rows_j, gi, gj)
+
+
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
                                              "interpret", "precision"))
 def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,

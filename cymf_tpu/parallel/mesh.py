@@ -100,6 +100,20 @@ class MeshContext:
         return ((n + d - 1) // d) * d
 
 
+def fetch_to_host(x) -> np.ndarray:
+    """numpy copy of ``x``, correct for multi-process (multi-host) arrays.
+
+    A row-sharded table on a multi-process mesh spans non-addressable
+    devices; ``np.asarray`` on it raises.  ``process_allgather`` pulls
+    every shard to every host (tables are host-visible state in the
+    sklearn-style API: ``model.W``/``model.H`` exist on all hosts, exactly
+    like the reference's shared-memory arrays)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 _local = threading.local()
 
 

@@ -115,7 +115,8 @@ class TestSortedAccum:
         wrows = 128
         rw = pk.packed_rows(U, K, multiple=wrows)
         rh = pk.logical_rows(I, multiple=wrows)
-        winw, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows, wrows)
+        winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
+                                                    wrows, wrows)
         pos_keys = np.sort(
             u2.ravel().astype(np.int64) * I + i2.ravel())
         j2, mask, sj, rowsj, winj = prep_epoch(
@@ -130,7 +131,7 @@ class TestSortedAccum:
             jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(si),
             jnp.asarray(rowsi), jnp.asarray(wini), jnp.asarray(j2),
             jnp.asarray(mask), jnp.asarray(sj), jnp.asarray(rowsj),
-            jnp.asarray(winj), jnp.asarray(winw),
+            jnp.asarray(winj), jnp.asarray(winw), jnp.asarray(wstart),
             jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
             K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
             interpret=True, precision=precision)
@@ -261,3 +262,84 @@ class TestFusedSamplePhase:
                                    float(loss_ref), rtol=1e-5)
         # everything but (0,0) stays zero
         assert float(jnp.sum(jnp.abs(lossp))) == float(jnp.abs(lossp[0, 0]))
+
+
+class TestSortedAccumDual:
+    @pytest.mark.parametrize("Bi,Bj,R,wrows,neg_lanes",
+                             [(3000, 3000, 1024, 256, 20),
+                              (2000, 5000, 512, 128, 50)])
+    def test_matches_two_scatters(self, Bi, Bj, R, wrows, neg_lanes):
+        """dual == scatter(j) - scatter(i) on payload lanes, + on the
+        rest (the count channel)."""
+        from cymf_tpu.ops.sorted_accum import sorted_accum_dual
+
+        rng = np.random.default_rng(Bi + Bj)
+        ri = np.sort(rng.integers(0, R - 5, Bi)).astype(np.int32)
+        rj = np.sort(rng.integers(0, R - 5, Bj)).astype(np.int32)
+        gi = rng.normal(size=(Bi, 128)).astype(np.float32)
+        gj = rng.normal(size=(Bj, 128)).astype(np.float32)
+        args = []
+        for rows, g in ((ri, gi), (rj, gj)):
+            starts, counts = window_ranges(rows, R, wrows)
+            rows2d = pad_samples(rows, R)
+            g_p = np.zeros((rows2d.size, 128), np.float32)
+            g_p[:len(g)] = g
+            args += [jnp.asarray(rows2d), jnp.asarray(g_p),
+                     jnp.asarray(starts), jnp.asarray(counts)]
+        out = np.asarray(sorted_accum_dual(
+            *args, r_pad=R, neg_lanes=neg_lanes, wrows=wrows,
+            interpret=True))
+        ai = np.asarray(sorted_accum_reference(jnp.asarray(ri),
+                                               jnp.asarray(gi), R))
+        aj = np.asarray(sorted_accum_reference(jnp.asarray(rj),
+                                               jnp.asarray(gj), R))
+        ref = aj.copy()
+        ref[:, :neg_lanes] -= ai[:, :neg_lanes]
+        ref[:, neg_lanes:] += ai[:, neg_lanes:]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestSamplePhaseV5:
+    def test_matches_v4(self):
+        """bpr_sample_phase_v5 (in-kernel W expansion, j-side decoration)
+        == bpr_sample_phase (XLA W gather, u-side decoration)."""
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.fused_sample import (bpr_sample_phase,
+                                               bpr_sample_phase_v5,
+                                               decorate)
+        from cymf_tpu.ops.packed_epoch import _fold_rows
+
+        rng = np.random.default_rng(4)
+        U, I, K, B = 290, 170, 20, 1024
+        wd = 0.013
+        s = pk.num_slots(K)
+        Wp = jnp.asarray(pk.pack_array(
+            rng.normal(size=(U, K)).astype(np.float32) * 0.2, K,
+            multiple=8))
+        Hl = jnp.asarray(pk.pack_logical(
+            rng.normal(size=(I, K)).astype(np.float32) * 0.2, K,
+            multiple=8))
+        u = np.sort(rng.integers(0, U, B).astype(np.int32))
+        i = rng.integers(0, I, B).astype(np.int32)
+        j = rng.integers(0, I, B).astype(np.int32)
+        mf = (rng.random(B) > 0.1).astype(np.float32)
+        phys, slot = (u // s).astype(np.int32), (u % s).astype(np.int32)
+
+        Du = decorate(Wp[phys], jnp.asarray(slot), jnp.asarray(mf), K)
+        SW4, Q4, L4 = bpr_sample_phase(Du, Hl[i], Hl[j], K=K, wd=wd,
+                                       interpret=True)
+
+        from cymf_tpu.ops.fused_sample import TILE, WROWS_A
+        nT = B // TILE
+        wrows_a = min(WROWS_A, Wp.shape[0])
+        wstart = np.clip(phys[::TILE], 0,
+                         max(Wp.shape[0] - wrows_a, 0)).astype(np.int32)
+        Dj = decorate(Hl[j], jnp.asarray(slot), jnp.asarray(mf), K)
+        SW5, Q5, L5 = bpr_sample_phase_v5(
+            Wp, jnp.asarray(wstart), _fold_rows(jnp.asarray(phys)),
+            Hl[i], Dj, K=K, wd=wd, interpret=True)
+        np.testing.assert_allclose(np.asarray(SW5), np.asarray(SW4),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(Q5), np.asarray(Q4),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(L5[0, 0], L4[0, 0], rtol=1e-3)
