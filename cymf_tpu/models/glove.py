@@ -68,6 +68,17 @@ def _bias_kfold_update(bias, accum, rows, grads, lr, k_steps: int,
     return bias, accum
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_glove_epoch_jit(mesh, lr: float, x_max: float, alpha: float,
+                             K: int, num_central: int):
+    """Cached jitted shard_map epoch (fused-bias mode) — row-sharded
+    augmented tables, sharded co-occurrence batches, O(batch) collectives
+    (parallel/shard_step.py::sharded_glove_epoch)."""
+    from ..parallel.shard_step import sharded_glove_epoch
+    opt = AdaGrad(lr)
+    return opt, sharded_glove_epoch(mesh, opt, x_max, alpha, K, num_central)
+
+
 @functools.lru_cache(maxsize=64)
 def _glove_epoch_jit(lr: float, x_max: float, alpha: float, K: int,
                      num_central: int, mode: str, bias_mode: str):
@@ -264,9 +275,26 @@ class GloVe:
         from .bpr import choose_update_mode
         mode = choose_update_mode(self.update_mode, 2 * B,
                                   Wc.shape[0] + Wx.shape[0])
-        opt, epoch_jit = _glove_epoch_jit(
-            self.learning_rate, self.x_max, self.alpha, K, V1, mode,
-            self.bias_mode)
+        if mesh.num_devices > 1 and self.bias_mode == "fused":
+            opt, sh_fn = _sharded_glove_epoch_jit(
+                mesh, self.learning_rate, self.x_max, self.alpha, K, V1)
+
+            def epoch_jit(Wc, Wx, bc, bx, ow, oh, abc, abx, c_st, x_st,
+                          n_st, nv):
+                Wc, Wx, ow, oh, loss = sh_fn(Wc, Wx, ow, oh, c_st, x_st,
+                                             n_st, nv)
+                return Wc, Wx, bc, bx, ow, oh, abc, abx, loss
+        else:
+            if mesh.num_devices > 1:
+                import warnings
+                warnings.warn(
+                    "bias_mode='kfold' has no explicit shard_map epoch; "
+                    "multi-device partitioning is compiler-inferred (use "
+                    "bias_mode='fused' for the proven-partitioned path)",
+                    stacklevel=2)
+            opt, epoch_jit = _glove_epoch_jit(
+                self.learning_rate, self.x_max, self.alpha, K, V1, mode,
+                self.bias_mode)
         ow, oh = opt.init(Wc), opt.init(Wx)
         abc = jnp.ones_like(bc)  # accumulators init ones (optimizer.pyx:96-99)
         abx = jnp.ones_like(bx)

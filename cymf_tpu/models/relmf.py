@@ -39,6 +39,19 @@ from .base import MFTrainerBase, PersistenceMixin, as_csr
 _CHUNK_STEPS = 2048  # max scan length per device call (see _relmf_epoch)
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_relmf_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
+                             clip: float, num_users: int, num_items: int,
+                             num_steps: int, batch_size: int, binary: bool):
+    """Cached (optimizer, jitted shard_map epoch chunk) — the multi-device
+    analogue of :func:`_relmf_epoch_jit` with identical call contract."""
+    from ..parallel.shard_step import sharded_relmf_epoch
+    opt = make_optimizer(opt_name, lr)
+    return opt, sharded_relmf_epoch(mesh, opt, wd, clip, num_users,
+                                    num_items, num_steps, batch_size,
+                                    binary)
+
+
 @functools.lru_cache(maxsize=64)
 def _relmf_epoch_jit(opt_name: str, lr: float, wd: float, clip: float,
                      num_users: int, num_items: int, num_steps: int,
@@ -183,7 +196,7 @@ class RelMF(MFTrainerBase, PersistenceMixin):
 
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
-        B = self.batch_size
+        B = mesh.pad_rows(self.batch_size)
         num_steps = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
         self._samples_per_epoch = num_steps * B
         from .bpr import choose_update_mode
@@ -194,14 +207,24 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         # chunking is RNG-transparent — see _relmf_epoch
         ch = min(num_steps, _CHUNK_STEPS)
         n_full, rem = divmod(num_steps, ch)
-        opt, chunk_jit = _relmf_epoch_jit(
-            self.optimizer, self.learning_rate, self.weight_decay,
-            self.clip_value, U, I, ch, B, mode, binary)
+        if mesh.num_devices > 1:
+            # explicit shard_map chunks: row-sharded tables, sharded cell
+            # batches, O(batch) collectives, bitwise-identical cell stream
+            # (parallel/shard_step.py::sharded_relmf_epoch)
+            def maker(steps):
+                return _sharded_relmf_epoch_jit(
+                    mesh, self.optimizer, self.learning_rate,
+                    self.weight_decay, self.clip_value, U, I, steps, B,
+                    binary)
+        else:
+            def maker(steps):
+                return _relmf_epoch_jit(
+                    self.optimizer, self.learning_rate, self.weight_decay,
+                    self.clip_value, U, I, steps, B, mode, binary)
+        opt, chunk_jit = maker(ch)
         parts = [(chunk_jit, ch)] * n_full
         if rem:
-            parts.append((_relmf_epoch_jit(
-                self.optimizer, self.learning_rate, self.weight_decay,
-                self.clip_value, U, I, rem, B, mode, binary)[1], rem))
+            parts.append((maker(rem)[1], rem))
         self._state = {"W": Wd, "H": Hd, "ow": opt.init(Wd),
                        "oh": opt.init(Hd)}
         # resume AFTER _state exists, so the checkpointed pytree actually

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops.hashset import hashset_contains
+from ..ops.segment import csr_lookup
 from .mesh import ROW_AXIS
 
 
@@ -143,5 +144,172 @@ def sharded_bpr_epoch(mesh_ctx, optimizer, weight_decay, num_users,
                                       u_steps.T, i_steps.T, hs, key)
         return W, H, opt_w, opt_h, loss / jnp.maximum(
             n_valid, 1).astype(W.dtype)
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))
+
+
+def sharded_relmf_epoch(mesh_ctx, optimizer, weight_decay, clip_value,
+                        num_users, num_items, num_steps, batch_size,
+                        binary):
+    """Explicit shard_map RelMF epoch chunk — the multi-device analogue of
+    ``models.relmf._relmf_epoch`` (same chunked/step0 contract, same
+    bitwise negative stream: full-batch draws then per-device slices).
+
+    The reference's RelMF Hogwild loop (`/root/reference/cymf/relmf.pyx:143`)
+    shares one table in RAM; here tables + optimizer state are row-sharded,
+    the B sampled cells are sharded over devices, row exchange is the same
+    O(batch) all_gather/psum_scatter pattern proven for BPR, and the dense
+    masked optimizer pass runs per shard.  Returns
+    ``fn(W, H, opt_w, opt_h, label_src, props, key, step0)``.
+    """
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    wd = float(weight_decay)
+    M = float(clip_value)
+    B = batch_size
+
+    def epoch(W, H, opt_w, opt_h, label_src, props, key, step0):
+        Upad, _ = W.shape
+        Ipad = H.shape[0]
+        rpd_u = Upad // n
+        rpd_i = Ipad // n
+        Bn = B // n
+
+        def device_epoch(W_s, H_s, ow_s, oh_s, label_src, props, key,
+                         step0):
+            p = jax.lax.axis_index(ROW_AXIS)
+
+            def step(carry, sidx):
+                W_s, H_s, ow_s, oh_s, loss_acc = carry
+                skey = jax.random.fold_in(key, sidx)
+                ku, ki = jax.random.split(skey)
+                # full-batch draw then slice: the cell stream is
+                # bitwise-identical to the single-device path
+                u_f = jax.random.randint(ku, (B,), 0, num_users,
+                                         dtype=jnp.int32)
+                i_f = jax.random.randint(ki, (B,), 0, num_items,
+                                         dtype=jnp.int32)
+                u_loc = jax.lax.dynamic_slice(u_f, (p * Bn,), (Bn,))
+                i_loc = jax.lax.dynamic_slice(i_f, (p * Bn,), (Bn,))
+                if binary:
+                    r = hashset_contains(label_src, u_loc,
+                                         i_loc).astype(W_s.dtype)
+                else:
+                    indptr, indices, data = label_src
+                    _, r = csr_lookup(indptr, indices, data, u_loc, i_loc)
+                pr = props[i_loc, 0]
+                w = r / jnp.maximum(pr, M)
+
+                u_all = jax.lax.all_gather(u_loc, ROW_AXIS, tiled=True)
+                i_all = jax.lax.all_gather(i_loc, ROW_AXIS, tiled=True)
+                wu = _resolve_rows(W_s, u_all, rpd_u)
+                hi = _resolve_rows(H_s, i_all, rpd_i)
+
+                s = jnp.sum(wu * hi, axis=1, keepdims=True)
+                wcol = w[:, None]
+                g_w = -(wcol * (1.0 - s) * hi
+                        + (1.0 - wcol) * (0.0 - s) * hi) + wd * wu
+                g_h = -(wcol * (1.0 - s) * wu
+                        + (1.0 - wcol) * (0.0 - s) * wu) + wd * hi
+                l2 = (jnp.sum(jnp.square(wu), axis=1)
+                      + jnp.sum(jnp.square(hi), axis=1))
+                loss = (w * jnp.square(1.0 - s[:, 0])
+                        + (1.0 - w) * jnp.square(s[:, 0]) + wd * l2)
+
+                gw_all = jax.lax.all_gather(g_w, ROW_AXIS, tiled=True)
+                gh_all = jax.lax.all_gather(g_h, ROW_AXIS, tiled=True)
+                W_s, ow_s = optimizer.update_dense(
+                    W_s, ow_s, [(_owned_rows(u_all, rpd_u), gw_all)])
+                H_s, oh_s = optimizer.update_dense(
+                    H_s, oh_s, [(_owned_rows(i_all, rpd_i), gh_all)])
+                loss_sum = jax.lax.psum(jnp.sum(loss), ROW_AXIS)
+                return (W_s, H_s, ow_s, oh_s, loss_acc + loss_sum), None
+
+            init = (W_s, H_s, ow_s, oh_s, jnp.zeros((), W_s.dtype))
+            (W_s, H_s, ow_s, oh_s, loss), _ = jax.lax.scan(
+                step, init, step0 + jnp.arange(num_steps))
+            return W_s, H_s, ow_s, oh_s, loss
+
+        table = P(ROW_AXIS, None)
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table, table, table, table, rep, rep, rep, rep),
+            out_specs=(table, table, table, table, rep),
+            check_vma=False)
+        return fn(W, H, opt_w, opt_h, label_src, props, key, step0)
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))
+
+
+def sharded_glove_epoch(mesh_ctx, optimizer, x_max, alpha, num_components,
+                        num_central):
+    """Explicit shard_map GloVe epoch (fused-bias mode) — the multi-device
+    analogue of ``models.glove._glove_epoch``.
+
+    The reference's GloVe Hogwild loop (`/root/reference/cymf/glove.pyx:151`)
+    shares both tables in RAM; here the augmented central/context tables
+    (``[w | b_c | 1]`` / ``[h | 1 | b_x]``) + AdaGrad accumulators are
+    row-sharded, the co-occurrence batch is sharded over devices, and row
+    exchange is the O(batch) all_gather/psum_scatter pattern.  Returns
+    ``fn(Wc, Wx, ow, oh, c_steps_T, x_steps_T, n_counts_T, n_valid)``
+    (batch arrays transposed to (B, S) so samples shard).
+    """
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    K = num_components
+
+    def epoch(Wc, Wx, ow, oh, c_steps, x_steps, n_counts, n_valid):
+        Cpad = Wc.shape[0]
+        Xpad = Wx.shape[0]
+        rpd_c = Cpad // n
+        rpd_x = Xpad // n
+        width = Wc.shape[1]
+
+        def device_epoch(Wc_s, Wx_s, ow_s, oh_s, c_st, x_st, n_st):
+            def step(carry, xs):
+                Wc_s, Wx_s, ow_s, oh_s, loss_acc = carry
+                c_loc, x_loc, cnt = xs
+                mf = (c_loc < num_central).astype(Wc_s.dtype)
+
+                c_all = jax.lax.all_gather(c_loc, ROW_AXIS, tiled=True)
+                x_all = jax.lax.all_gather(x_loc, ROW_AXIS, tiled=True)
+                wc = _resolve_rows(Wc_s, c_all, rpd_c)
+                hx = _resolve_rows(Wx_s, x_all, rpd_x)
+
+                f = jnp.minimum(jnp.power(cnt / x_max, alpha), 1.0)
+                diff = jnp.sum(wc * hx, axis=1) - jnp.log(cnt)
+                loss = 0.5 * f * jnp.square(diff) * mf
+                fd = (f * diff * mf)[:, None]
+                col = jnp.arange(width)
+                g_c = fd * hx * (col != K + 1)
+                g_x = fd * wc * (col != K)
+
+                gc_all = jax.lax.all_gather(g_c, ROW_AXIS, tiled=True)
+                gx_all = jax.lax.all_gather(g_x, ROW_AXIS, tiled=True)
+                Wc_s, ow_s = optimizer.update_dense(
+                    Wc_s, ow_s, [(_owned_rows(c_all, rpd_c), gc_all)])
+                Wx_s, oh_s = optimizer.update_dense(
+                    Wx_s, oh_s, [(_owned_rows(x_all, rpd_x), gx_all)])
+                loss_sum = jax.lax.psum(jnp.sum(loss), ROW_AXIS)
+                return (Wc_s, Wx_s, ow_s, oh_s, loss_acc + loss_sum), None
+
+            init = (Wc_s, Wx_s, ow_s, oh_s, jnp.zeros((), Wc_s.dtype))
+            (Wc_s, Wx_s, ow_s, oh_s, loss), _ = jax.lax.scan(
+                step, init, (c_st.T, x_st.T, n_st.T))
+            return Wc_s, Wx_s, ow_s, oh_s, loss
+
+        table = P(ROW_AXIS, None)
+        batch = P(ROW_AXIS, None)  # (B, S): samples sharded
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table, table, table, table, batch, batch, batch),
+            out_specs=(table, table, table, table, rep),
+            check_vma=False)
+        Wc, Wx, ow, oh, loss = fn(Wc, Wx, ow, oh, c_steps.T, x_steps.T,
+                                  n_counts.T)
+        return Wc, Wx, ow, oh, loss / jnp.maximum(
+            n_valid, 1).astype(Wc.dtype)
 
     return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))

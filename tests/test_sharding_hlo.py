@@ -204,3 +204,98 @@ def test_recommend_only_topk_sized_collectives(rec_compiled8):
             if elems > cap:
                 offenders.append(line.strip()[:160])
     assert not offenders, "oversized collectives:\n" + "\n".join(offenders)
+
+
+# ---------------------------------------------------------------------------
+# RelMF / GloVe explicit shard_map epochs (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+MU, MI, MK, MB, MSTEPS = 1024, 512, 16, 256, 2
+
+
+def _relmf_compiled(n_devices):
+    from cymf_tpu.models.relmf import (_relmf_epoch_jit,
+                                       _sharded_relmf_epoch_jit)
+    from cymf_tpu.parallel.mesh import MeshContext
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    W = mesh.put_table(jnp.asarray(rng.normal(size=(MU, MK)), jnp.float32))
+    H = mesh.put_table(jnp.asarray(rng.normal(size=(MI, MK)), jnp.float32))
+    hs = jax.tree_util.tree_map(
+        mesh.put_replicated, build_pair_hashset(
+            np.arange(MU, dtype=np.int64), np.zeros(MU, np.int64)))
+    props = mesh.put_replicated(jnp.full((MI, 1), 0.5, jnp.float32))
+    if n_devices == 1:
+        opt, fn = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, MU, MI,
+                                   MSTEPS, MB, "dense", True)
+    else:
+        opt, fn = _sharded_relmf_epoch_jit(mesh, "adam", 0.001, 0.01, 0.1,
+                                           MU, MI, MSTEPS, MB, True)
+    ow, oh = opt.init(W), opt.init(H)
+    return fn.lower(W, H, ow, oh, hs, props, jax.random.PRNGKey(0),
+                    jnp.asarray(0, jnp.int32)).compile()
+
+
+def _glove_compiled(n_devices):
+    from cymf_tpu.models.glove import (_glove_epoch_jit,
+                                       _sharded_glove_epoch_jit)
+    from cymf_tpu.parallel.mesh import MeshContext
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    width = MK + 2
+    Wc = mesh.put_table(jnp.asarray(rng.normal(size=(MU, width)),
+                                    jnp.float32))
+    Wx = mesh.put_table(jnp.asarray(rng.normal(size=(MI, width)),
+                                    jnp.float32))
+    c = jax.device_put(jnp.asarray(rng.integers(0, MU, (MSTEPS, MB)),
+                                   jnp.int32), mesh.batch2d())
+    x = jax.device_put(jnp.asarray(rng.integers(0, MI, (MSTEPS, MB)),
+                                   jnp.int32), mesh.batch2d())
+    cnt = jax.device_put(jnp.asarray(
+        rng.integers(1, 40, (MSTEPS, MB)).astype(np.float32)),
+        mesh.batch2d())
+    nv = jnp.asarray(MSTEPS * MB, jnp.int32)
+    if n_devices == 1:
+        opt, fn = _glove_epoch_jit(0.01, 10.0, 0.75, MK, MU, "dense",
+                                   "fused")
+        bias = jnp.zeros((1, 1), jnp.float32)
+        ow, oh = opt.init(Wc), opt.init(Wx)
+        return fn.lower(Wc, Wx, bias, bias, ow, oh, jnp.ones_like(bias),
+                        jnp.ones_like(bias), c, x, cnt, nv).compile()
+    opt, fn = _sharded_glove_epoch_jit(mesh, 0.01, 10.0, 0.75, MK, MU)
+    ow, oh = opt.init(Wc), opt.init(Wx)
+    return fn.lower(Wc, Wx, ow, oh, c, x, cnt, nv).compile()
+
+
+def _assert_no_table_collectives(text, table_elems):
+    offenders = []
+    for line in text.splitlines():
+        if not any(c in line for c in _COLLECTIVES):
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line):
+            dims = [int(d) for d in shape.split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            if elems >= table_elems:
+                offenders.append(line.strip()[:160])
+    assert not offenders, "table-sized collectives found:\n" + \
+        "\n".join(offenders)
+
+
+def test_relmf_sharded_no_table_collectives_and_flops_shrink():
+    assert len(jax.devices()) >= 8
+    c8 = _relmf_compiled(8)
+    _assert_no_table_collectives(c8.as_text(), MU * MK)
+    f1 = _relmf_compiled(1).cost_analysis()["flops"]
+    f8 = c8.cost_analysis()["flops"]
+    assert f8 < 0.55 * f1, (f1, f8)
+
+
+def test_glove_sharded_no_table_collectives_and_flops_shrink():
+    assert len(jax.devices()) >= 8
+    c8 = _glove_compiled(8)
+    _assert_no_table_collectives(c8.as_text(), MU * MK)
+    f1 = _glove_compiled(1).cost_analysis()["flops"]
+    f8 = c8.cost_analysis()["flops"]
+    assert f8 < 0.55 * f1, (f1, f8)
