@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench clean provision parity
 
 all: native
 
@@ -12,6 +12,12 @@ test:
 
 bench:
 	$(PY) bench.py
+
+provision:
+	$(PY) scripts/provision_datasets.py
+
+parity: provision
+	$(PY) scripts/parity_ml100k.py
 
 clean:
 	rm -rf build cymf_tpu/native/_native*.so cymf_tpu/__pycache__

@@ -96,3 +96,29 @@ def test_yahoomusic_missing_raises(tmp_path, monkeypatch):
     monkeypatch.setenv("HOME", str(tmp_path))
     with pytest.raises(FileNotFoundError):
         YahooMusic()
+
+
+def test_provision_script_structural_verify(tmp_path, monkeypatch):
+    """provision_datasets verifies present files structurally and fails
+    on wrong record counts; --verify-only never touches the network."""
+    import subprocess
+    import sys
+    import os
+    env = dict(os.environ, CYMF_TPU_CACHE=str(tmp_path))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "provision_datasets.py")
+
+    def run(*args):
+        return subprocess.run([sys.executable, script, "--verify-only",
+                               *args], env=env, capture_output=True,
+                              text=True, timeout=120)
+
+    assert run("ml-100k").returncode == 1  # nothing provisioned yet
+    d = tmp_path / "ml-100k"
+    d.mkdir()
+    (d / "u.data").write_text("1\t1\t5\t0\n" * 100_000)
+    out = run("ml-100k")
+    assert out.returncode == 0, out.stdout
+    (d / "u.data").write_text("1\t1\t5\t0\n" * 99_999)
+    out = run("ml-100k")
+    assert out.returncode == 1 and "99999 lines" in out.stdout
