@@ -234,50 +234,44 @@ class BPR(MFTrainerBase, PersistenceMixin):
         if packed not in ("auto", "on", "off"):
             raise ValueError("packed must be auto|on|off")
         self.packed = packed
-        if packed == "on":
-            from ..ops import packed as pk
-            if engine != "xla":
-                raise ValueError("packed='on' requires engine='xla'")
-            if not pk.packable(num_components):
-                raise ValueError(
-                    "packed='on' requires num_components <= 127 (the "
-                    "packed layout reserves one count lane per slot)")
+        if packed == "on" and engine != "xla":
+            raise ValueError("packed='on' requires engine='xla'")
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
 
-    def _use_packed(self, n_samples: int) -> bool:
-        """The packed single-chip fast path (host-sorted batches + Pallas
-        windowed accumulation, ``ops/packed_epoch.py``) applies
-        automatically when: one device, XLA engine, packable K (<= 127 —
-        the count channel needs a spare lane per slot, `ops/packed.py`),
-        and a real TPU backend (the kernel runs in slow interpret mode
-        elsewhere).  ``packed='on'`` FORCES the engine (any backend, any
-        mesh — it is a single-device engine and runs on the default
-        device) and raises where that is impossible, rather than silently
-        falling back."""
+    def _fused_engine(self, n_samples: int) -> str:
+        """Select the single-chip fused engine: ``"packed"`` (K <= 127,
+        lane-packed W + Pallas windowed accumulation,
+        ``ops/packed_epoch.py``), ``"wide"`` (K >= 128, multi-granule rows
+        + the same scatter-free accumulation, ``ops/wide_epoch.py``), or
+        ``""`` (the portable XLA batch engine).
+
+        ``packed='auto'`` picks the fused engine on one device with a real
+        TPU backend (the kernels run in slow interpret mode elsewhere);
+        ``packed='on'`` FORCES it (any backend, any mesh — it is a
+        single-device engine and runs on the default device) and warns
+        when a multi-device mesh is being ignored."""
         from ..ops import packed as pk
+        kind = "packed" if pk.packable(self.num_components) else "wide"
         if self.packed == "off":
-            return False
+            return ""
         if self.packed == "on":
             if self.engine != "xla":
                 raise ValueError(
                     "packed='on' requires engine='xla'")
-            if not pk.packable(self.num_components):
-                raise ValueError(
-                    "packed='on' requires num_components <= 127 (the "
-                    "packed layout reserves one count lane per slot)")
             if self.mesh.num_devices > 1:
                 import warnings
                 warnings.warn(
                     "packed='on' is a single-device engine: the "
                     f"{self.mesh.num_devices}-device mesh is ignored and "
                     "training runs on the default device", stacklevel=3)
-            return True
-        if self.engine != "xla" or self.mesh.num_devices != 1 \
-                or not pk.packable(self.num_components):
-            return False
+            return kind
+        if self.engine != "xla" or self.mesh.num_devices != 1:
+            return ""
         import jax
-        return jax.default_backend() == "tpu" and n_samples >= 4096
+        if jax.default_backend() == "tpu" and n_samples >= 4096:
+            return kind
+        return ""
 
     def fit(self, X, num_epochs: int = 10, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
@@ -317,9 +311,9 @@ class BPR(MFTrainerBase, PersistenceMixin):
         N = len(users)
         mesh = self.mesh
         mesh_n = mesh.num_devices
-        use_packed = self._use_packed(N)
+        fused = self._fused_engine(N)
         B = min(self.batch_size, max(N, mesh_n))
-        B = -(-B // 1024) * 1024 if use_packed else mesh.pad_rows(B)
+        B = -(-B // 1024) * 1024 if fused else mesh.pad_rows(B)
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:
@@ -334,10 +328,14 @@ class BPR(MFTrainerBase, PersistenceMixin):
         order = np.argsort(u2, axis=1, kind="stable")
         u2 = np.take_along_axis(u2, order, axis=1)
         i2 = np.take_along_axis(i2, order, axis=1)
-        if use_packed:
+        if fused == "packed":
             return self._fit_packed(X, u2, i2, num_epochs, verbose, seed,
                                     checkpoint_path, checkpoint_every,
                                     resume)
+        if fused == "wide":
+            return self._fit_wide(X, u2, i2, num_epochs, verbose, seed,
+                                  checkpoint_path, checkpoint_every,
+                                  resume)
         u_steps = jax.device_put(u2, mesh.batch2d())
         i_steps = jax.device_put(i2, mesh.batch2d())
         coo = X.tocoo()
@@ -543,6 +541,110 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+            publish()
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_wide(self, X, u2, i2, num_epochs, verbose, seed,
+                  checkpoint_path, checkpoint_every, resume):
+        """Single-chip fast path for K >= 128: multi-granule rows +
+        scatter-free windowed accumulation (ops/wide_epoch.py).  Identical
+        update semantics to the XLA batch engine (count-based touched
+        masks, same documented edge as the packed engine)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.packed_epoch import make_packed_optimizer, prep_backend
+        from ..ops.packed_epoch import prep_epoch
+        from ..ops.wide_epoch import (kp_width, pack_wide, prep_static_wide,
+                                      wide_bpr_epoch, wide_rows)
+
+        self.prep_backend_ = prep_backend()
+        U, I = X.shape
+        K = self.num_components
+        S, B = u2.shape
+        N = self._samples_per_epoch
+        self.last_loss = None
+        wrows = 512
+        rw = wide_rows(U, wrows)
+        rh = wide_rows(I, wrows)
+        interpret = jax.default_backend() != "tpu"
+
+        rowsu, winw, si, rowsi, wini = prep_static_wide(u2, i2, rw, rh,
+                                                        wrows)
+        coo = X.tocoo()
+        pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+
+        Wd = jnp.asarray(pack_wide(self.W, K, multiple=wrows))
+        Hd = jnp.asarray(pack_wide(self.H, K, multiple=wrows))
+        opt = make_packed_optimizer(self.optimizer, self.learning_rate)
+        ow, oh = opt.init(Wd), opt.init(Hd)
+
+        u2d, i2d = jnp.asarray(u2), jnp.asarray(i2)
+        rowsu_d, winw_d = jnp.asarray(rowsu), jnp.asarray(winw)
+        si_d, rowsi_d, wini_d = (jnp.asarray(si), jnp.asarray(rowsi),
+                                 jnp.asarray(wini))
+        n_valid = jnp.asarray(N, jnp.int32)
+
+        def publish():
+            self._state = {"W": Wd[:, :K], "H": Hd[:, :K],
+                           "oww": ow, "ohw": oh}
+
+        publish()
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
+            start_epoch = last_epoch + 1
+            Wd = jnp.asarray(pack_wide(np.asarray(flat["W"])[:U], K,
+                                       multiple=wrows))
+            Hd = jnp.asarray(pack_wide(np.asarray(flat["H"])[:I], K,
+                                       multiple=wrows))
+
+            def cvt_w(a):  # logical XLA leaf (>=U, K) -> wide layout
+                return pack_wide(a[:U], K, multiple=wrows)
+
+            def cvt_h(a):
+                return pack_wide(a[:I], K, multiple=wrows)
+
+            mpay_w = pack_wide(np.ones((U, K), np.float32), K,
+                               multiple=wrows) > 0
+            mpay_h = pack_wide(np.ones((I, K), np.float32), K,
+                               multiple=wrows) > 0
+            place = lambda a, t: jnp.asarray(a)
+            ow = _restore_opt_state(flat, "oww", "ow", ow, cvt_w, mpay_w,
+                                    place, repad=cvt_w)
+            oh = _restore_opt_state(flat, "ohw", "oh", oh, cvt_h, mpay_h,
+                                    place, repad=cvt_h)
+            publish()
+
+        self._last_loss_dev = None
+
+        def epoch_fn(epoch):
+            nonlocal Wd, Hd, ow, oh
+            rng = np.random.default_rng((seed, epoch))
+            j2, mask, sj, rowsj, winj = prep_epoch(
+                rng, u2, i2, pos_keys, U, I, K, rh, wrows,
+                native_seed=seed * 1_000_003 + epoch)
+            Wd, Hd, ow, oh, self._last_loss_dev = wide_bpr_epoch(
+                Wd, Hd, ow, oh, u2d, i2d, rowsu_d, winw_d, si_d, rowsi_d,
+                wini_d, jnp.asarray(j2), jnp.asarray(mask),
+                jnp.asarray(sj), jnp.asarray(rowsj), jnp.asarray(winj),
+                n_valid, opt_name=self.optimizer, lr=self.learning_rate,
+                weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
+                wrows=wrows, interpret=interpret)
             publish()
 
         def snapshot_fn():

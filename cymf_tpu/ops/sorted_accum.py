@@ -165,7 +165,8 @@ def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
     groups = tile // LANES
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)[0:1, :]
+    width = out_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     sv_neg = jnp.where(lanes < neg_lanes, jnp.float32(-1), jnp.float32(1))
     slots = (g_s0, g_s1)
 
@@ -255,6 +256,10 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
         if (r2.shape[0] * LANES) % tile or g.shape[0] % tile:
             raise ValueError("sample count must be padded to a tile "
                              "multiple")
+    width = gi.shape[1]
+    if width % LANES or gj.shape[1] != width:
+        raise ValueError("gradient widths must match and be multiples "
+                         "of 128")
     nw = r_pad // wrows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -263,11 +268,11 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
+        out_specs=pl.BlockSpec((wrows, width), lambda w, *_: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile, LANES), jnp.float32),
-            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, width), jnp.float32),
+            pltpu.VMEM((tile, width), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -275,7 +280,7 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
     return pl.pallas_call(
         functools.partial(_accum_kernel_dual, wrows=wrows, tile=tile,
                           precision=prec, neg_lanes=int(neg_lanes)),
-        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts_i, counts_i, starts_j, counts_j, rows_i, rows_j, gi, gj)
@@ -294,14 +299,16 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         ``[b // 128, b % 128]``).  Bp must be a multiple of ``tile``
         (window starts are tile-aligned, so no DMA can then overrun) and
         padding rows must be >= r_pad.
-      g: float32[Bp, 128] lane-placed gradients (padding rows' values are
-        never matched, so they may be anything).
+      g: float32[Bp, width] lane-placed gradients (padding rows' values
+        are never matched, so they may be anything).  ``width`` is any
+        multiple of 128 — wide (K >= 128) engines pass multi-granule
+        rows; the one-hot contraction shape follows the operand.
       starts/counts: int32[r_pad // wrows] tile-aligned window ranges from
         :func:`window_ranges` (computed on the host, which already knows
         the sorted rows).
       r_pad: output rows — a multiple of ``wrows``.
 
-    Returns float32[r_pad, 128] with summed gradients (zeros elsewhere).
+    Returns float32[r_pad, width] with summed gradients (zeros elsewhere).
     """
     if r_pad % wrows:
         raise ValueError("r_pad must be a multiple of wrows")
@@ -309,17 +316,20 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         raise ValueError("tile must be a multiple of 1024")
     if (rows2d.shape[0] * LANES) % tile or g.shape[0] % tile:
         raise ValueError("sample count must be padded to a tile multiple")
+    width = g.shape[1]
+    if width % LANES:
+        raise ValueError("gradient width must be a multiple of 128")
     nw = r_pad // wrows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((wrows, LANES), lambda w, s, c: (w, 0),
+        out_specs=pl.BlockSpec((wrows, width), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile, LANES), jnp.float32),
-            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, width), jnp.float32),
+            pltpu.VMEM((tile, width), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -327,7 +337,7 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
     return pl.pallas_call(
         functools.partial(_accum_kernel, wrows=wrows, tile=tile,
                           precision=prec),
-        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, counts, rows2d, g)

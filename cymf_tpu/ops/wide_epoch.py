@@ -1,0 +1,143 @@
+"""Wide-row fused BPR epoch — the fast path for K >= 128 (BASELINE.json
+config 5: "BPR + WMF on ML-20M, d=256").
+
+The packed engine (`ops/packed_epoch.py`) exists because narrow rows
+(K < 128) waste lane bandwidth; at K >= 128 rows already fill whole
+128-lane granules, so there is nothing to pack and no slot machinery to
+run — what remains from the packed design is its real lesson: **no XLA
+scatter anywhere**.  Gradient accumulation stays windowed one-hot MXU
+contraction over host-sorted streams (`ops/sorted_accum.py`, generalized
+to multi-granule rows), host/C++ epoch prep supplies the negative
+streams, rejection masks, sort permutations and window ranges, and the
+sample phase is plain fused XLA elementwise+reduce over the gathered
+rows (the packed engine's Pallas sample kernel earns its keep doing lane
+rotations, which wide rows do not need).
+
+Stream layout: tables are (rows, Kp) with Kp = K padded to a granule
+multiple; gradient/product streams carry ONE extra granule whose lane 0
+is the live-sample count channel, so the same accumulation produces
+summed gradients AND per-row live counts (for the weight-decay
+reconstruction ``wd * n_r * T_r`` and the touched-row optimizer masks,
+exactly as the packed engine — see `ops/packed_epoch.py` items 2-3).
+
+Reference behaviour being replaced: the same Hogwild loop as the packed
+engine (`/root/reference/cymf/bpr.pyx:162-169`, `model.pyx:37-87`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import packed as pk
+from .packed_epoch import make_packed_optimizer
+from .sorted_accum import sorted_accum, sorted_accum_dual
+
+TILE = 1024
+LANES = 128
+
+
+def kp_width(K: int) -> int:
+    """Payload lanes of the wide layout: K padded to a granule multiple."""
+    return -(-int(K) // LANES) * LANES
+
+
+def wide_rows(n: int, multiple: int = 512) -> int:
+    return -(-int(n) // multiple) * multiple
+
+
+def pack_wide(table, K: int, multiple: int = 512) -> np.ndarray:
+    """(N, K) -> (R, Kp) float32 with zero padding."""
+    table = np.asarray(table, np.float32)
+    N = table.shape[0]
+    out = np.zeros((wide_rows(N, multiple), kp_width(K)), np.float32)
+    out[:N, :K] = table[:, :K]
+    return out
+
+
+def _count_block(payload, mf):
+    """Append the count granule: lane Kp holds the live mask."""
+    B = payload.shape[0]
+    blk = jnp.concatenate(
+        [mf[:, None], jnp.zeros((B, LANES - 1), payload.dtype)], axis=1)
+    return jnp.concatenate([payload, blk], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
+                              "rh", "wrows", "interpret", "precision"))
+def wide_bpr_epoch(W, H, ow, oh, u_steps, i_steps, rowsu_steps, winw,
+                   si_steps, rowsi_steps, wini, j_steps, mask_steps,
+                   sj_steps, rowsj_steps, winj, n_valid, *, opt_name, lr,
+                   weight_decay, K, rw, rh, wrows=512, interpret=False,
+                   precision="split"):
+    """One epoch over S pre-sorted minibatches (scan), K >= 128.
+
+    ``W``/``H`` are (rw, Kp) / (rh, Kp) wide tables.  Index streams as in
+    :func:`cymf_tpu.ops.packed_epoch.packed_bpr_epoch` (slots=1: target
+    rows ARE the user/item ids), plus ``rowsu_steps`` (folded sorted user
+    rows — the W side needs its own fold at slots=1).
+    """
+    opt = make_packed_optimizer(opt_name, lr)
+    wd = jnp.float32(weight_decay)
+    Kp = W.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+    payf = (lane < K).astype(jnp.float32)
+    payb = lane < K
+    acc = functools.partial(sorted_accum, tile=TILE, interpret=interpret,
+                            precision=precision)
+
+    def step(carry, xs):
+        W, H, ow, oh, loss_acc = carry
+        u, i, rowsu, ww, si, rowsi, wi, j, mf, sj, rowsj, wj = xs
+
+        wu, hi, hj = W[u], H[i], H[j]
+        x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
+        sigm = jax.nn.sigmoid(-x) * mf[:, None]  # mask folded into sig
+        SW = _count_block(sigm * (hi - hj), mf)
+        Q = _count_block(sigm * wu, mf)
+        l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1)
+        loss = jnp.sum(
+            (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mf)
+
+        Aw = acc(rowsu, SW, ww[0], ww[1], r_pad=rw, wrows=wrows)
+        nw = Aw[:, Kp:Kp + 1]
+        W, ow = opt.update(W, ow, (-Aw[:, :Kp] + wd * nw * W) * payf,
+                           (nw > 0) & payb, K)
+
+        D = sorted_accum_dual(
+            rowsi, Q[si], wi[0], wi[1], rowsj, Q[sj], wj[0], wj[1],
+            r_pad=rh, neg_lanes=Kp, wrows=wrows, tile=TILE,
+            interpret=interpret, precision=precision)
+        nh = D[:, Kp:Kp + 1]
+        H, oh = opt.update(H, oh, (D[:, :Kp] + wd * nh * H) * payf,
+                           (nh > 0) & payb, K)
+        return (W, H, ow, oh, loss_acc + loss), None
+
+    init = (W, H, ow, oh, jnp.zeros((), jnp.float32))
+    (W, H, ow, oh, loss), _ = jax.lax.scan(
+        step, init, (u_steps, i_steps, rowsu_steps, winw, si_steps,
+                     rowsi_steps, wini, j_steps, mask_steps, sj_steps,
+                     rowsj_steps, winj))
+    return W, H, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
+
+
+def prep_static_wide(u2, i2, rw: int, rh: int, wrows: int,
+                     tile: int = TILE):
+    """Once per fit: folded sorted user rows + W windows (u pre-sorted),
+    and the full i-side prep.  Returns
+    ``(rowsu, winw, si, rowsi, wini)``."""
+    from .packed_epoch import _sorted_side
+    from .sorted_accum import window_ranges
+
+    S, B = u2.shape
+    rowsu = np.empty((S, B // LANES, LANES), np.int32)
+    winw = np.empty((S, 2, rw // wrows), np.int32)
+    for t in range(S):
+        rowsu[t] = u2[t].reshape(B // LANES, LANES)
+        winw[t, 0], winw[t, 1] = window_ranges(u2[t], rw, wrows, tile)
+    si, rowsi, wini = _sorted_side(i2, rh, wrows, tile)
+    return rowsu, winw, si, rowsi, wini

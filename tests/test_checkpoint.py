@@ -147,12 +147,14 @@ def test_bpr_cross_engine_resume(tmp_path, src, dst, optimizer):
 
 
 def test_packed_on_validation():
-    """packed='on' rejects impossible configs instead of silently
-    falling back (engine mismatch, unpackable K)."""
-    with pytest.raises(ValueError):
-        BPR(num_components=128, packed="on")
+    """packed='on' rejects impossible configs instead of silently falling
+    back; K >= 128 is no longer impossible (the wide engine covers it)."""
     with pytest.raises(ValueError):
         BPR(num_components=8, packed="on", engine="pallas")
+    m = BPR(num_components=128, packed="on")  # -> wide fused engine
+    assert m._fused_engine(10_000) == "wide"
+    assert BPR(num_components=20, packed="on")._fused_engine(10_000) \
+        == "packed"
 
 
 @pytest.mark.parametrize("engine", ["off", "on"])

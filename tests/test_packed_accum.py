@@ -343,3 +343,107 @@ class TestSamplePhaseV5:
         np.testing.assert_allclose(np.asarray(Q5), np.asarray(Q4),
                                    rtol=2e-3, atol=2e-5)
         np.testing.assert_allclose(L5[0, 0], L4[0, 0], rtol=1e-3)
+
+
+class TestWideEpoch:
+    def test_wide_epoch_matches_dense_reference(self):
+        """wide_bpr_epoch (K >= 128) == an unpacked gather/scatter/
+        sparse-Adam replica on identical (u, i, j, mask) streams."""
+        from cymf_tpu.ops.packed_epoch import prep_epoch
+        from cymf_tpu.ops.wide_epoch import (pack_wide, prep_static_wide,
+                                             wide_bpr_epoch, wide_rows)
+        from cymf_tpu.ops.packed_epoch import make_packed_optimizer
+
+        rng = np.random.default_rng(3)
+        U, I, K, B, S = 300, 200, 160, 1024, 2
+        lr, wd = 0.02, 0.01
+        W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
+        H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
+        u2 = np.sort(rng.integers(0, U, (S, B)).astype(np.int32), axis=1)
+        i2 = rng.integers(0, I, (S, B)).astype(np.int32)
+
+        wrows = 128
+        rw, rh = wide_rows(U, wrows), wide_rows(I, wrows)
+        rowsu, winw, si, rowsi, wini = prep_static_wide(u2, i2, rw, rh,
+                                                        wrows)
+        pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+        j2, mask, sj, rowsj, winj = prep_epoch(
+            np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
+
+        Wd = jnp.asarray(pack_wide(W0, K, multiple=wrows))
+        Hd = jnp.asarray(pack_wide(H0, K, multiple=wrows))
+        opt = make_packed_optimizer("adam", lr)
+        W2, H2, _, _, loss = wide_bpr_epoch(
+            Wd, Hd, opt.init(Wd), opt.init(Hd),
+            jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(rowsu),
+            jnp.asarray(winw), jnp.asarray(si), jnp.asarray(rowsi),
+            jnp.asarray(wini), jnp.asarray(j2), jnp.asarray(mask),
+            jnp.asarray(sj), jnp.asarray(rowsj), jnp.asarray(winj),
+            jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
+            K=K, rw=rw, rh=rh, wrows=wrows, interpret=True,
+            precision="split")
+        W_got = np.asarray(W2[:U, :K])
+        H_got = np.asarray(H2[:I, :K])
+
+        def adam_dense(T, m, v, gbuf, touched):
+            touched = touched[:, None] > 0
+            m2 = np.where(touched, 0.9 * m + 0.1 * gbuf, m)
+            v2 = np.where(touched, 0.999 * v + 0.001 * gbuf**2, v)
+            delta = np.where(
+                touched, -lr * (m2 / 0.1) / (np.sqrt(v2 / 0.001) + 1e-8),
+                0)
+            return T + delta, m2, v2
+
+        W, H = W0.copy(), H0.copy()
+        mW = np.zeros_like(W); vW = np.zeros_like(W)
+        mH = np.zeros_like(H); vH = np.zeros_like(H)
+        total_loss = 0.0
+        for t in range(S):
+            u, i, j, mf = u2[t], i2[t], j2[t], mask[t][:, None]
+            wu, hi, hj = W[u], H[i], H[j]
+            x = np.sum(wu * (hi - hj), axis=1, keepdims=True)
+            sig = 1.0 / (1.0 + np.exp(x))
+            l2 = np.sum(wu**2 + hi**2 + hj**2, axis=1)
+            # -log sigmoid(x) = log1p(exp(-|x|)) + max(-x, 0)
+            total_loss += float(np.sum(
+                (np.log1p(np.exp(-np.abs(x[:, 0]))) +
+                 np.maximum(-x[:, 0], 0) + wd * l2) * mask[t]))
+            g_wu = -(sig * (hi - hj) - wd * wu) * mf
+            g_hi = -(sig * wu - wd * hi) * mf
+            g_hj = -(-sig * wu - wd * hj) * mf
+            gW = np.zeros_like(W); np.add.at(gW, u, g_wu)
+            gH = np.zeros_like(H); np.add.at(gH, i, g_hi)
+            np.add.at(gH, j, g_hj)
+            cW = np.zeros(U); np.add.at(cW, u, mask[t])
+            cH = np.zeros(I); np.add.at(cH, i, mask[t])
+            np.add.at(cH, j, mask[t])
+            W, mW, vW = adam_dense(W, mW, vW, gW, cW)
+            H, mH, vH = adam_dense(H, mH, vH, gH, cH)
+
+        np.testing.assert_allclose(W_got, W, rtol=8e-4, atol=8e-5)
+        np.testing.assert_allclose(H_got, H, rtol=8e-4, atol=8e-5)
+        np.testing.assert_allclose(float(loss), total_loss / (S * B),
+                                   rtol=1e-3)
+
+    def test_fit_wide_on_learns(self):
+        """The public BPR.fit wide path (packed='on', K >= 128,
+        interpret mode) trains end to end."""
+        import scipy.sparse as sp
+
+        from cymf_tpu import BPR
+        from cymf_tpu.evaluation import AoaEvaluator
+
+        rng = np.random.default_rng(0)
+        U, I, rank = 150, 90, 4
+        scores = rng.normal(size=(U, rank)) @ rng.normal(size=(rank, I))
+        X = sp.csr_matrix((scores > np.quantile(scores, 0.9)).astype(
+            np.float64))
+        m = BPR(num_components=128, learning_rate=0.05, weight_decay=0.0,
+                packed="on", batch_size=1024)
+        m.fit(X, num_epochs=3, verbose=False)
+        first_loss = m.last_loss
+        m.fit(X, num_epochs=3, verbose=False)  # warm start continues
+        assert m.last_loss < first_loss
+        ev = AoaEvaluator(X, metrics=["DCG"], k=5, num_negatives=50)
+        got = ev.evaluate(m.W, m.H)["DCG@5"]
+        assert got > 0.3
