@@ -272,8 +272,10 @@ class Evaluator:
         """Degree-bucketed user chunks (like the ALS chunker): users are
         sorted by test-positive count ascending and grouped so each chunk's
         padded candidate matrix stays bounded — one heavy user no longer
-        forces a huge pad onto every chunk.  Chunk shapes are pow2-rounded
-        to bound the number of distinct compiles."""
+        forces a huge pad onto every chunk.  Chunk user counts round UP to
+        a power of two (dummy zero-mask users pad the tail) so most chunks
+        share one shape — fewer distinct compiles and fewer dispatches
+        after same-shape stacking."""
         U = X.shape[0]
         deg = np.diff(X.indptr)
         order = np.argsort(deg, kind="stable")
@@ -289,23 +291,24 @@ class Evaluator:
                 if (take + 1) * (P + self.num_negatives) > max_elems:
                     break
                 take += 1
-            p2 = 1
-            while p2 * 2 <= take:
-                p2 *= 2
-            take = p2
             sel = order[start:start + take].astype(np.int32)
             start += take
+            p2 = 1
+            while p2 < take:
+                p2 *= 2
             pmax = max(int(deg[sel].max()) if len(sel) else 1, 1)
             P = 1
             while P < pmax:
                 P *= 2
-            pos_pad = np.zeros((take, P), np.int32)
-            pos_valid = np.zeros((take, P), bool)
+            pos_pad = np.zeros((p2, P), np.int32)
+            pos_valid = np.zeros((p2, P), bool)
+            uids = np.zeros(p2, np.int32)
+            uids[:take] = sel
             for r, u in enumerate(sel):
                 lo, hi = X.indptr[u], X.indptr[u + 1]
                 pos_pad[r, :hi - lo] = X.indices[lo:hi]
                 pos_valid[r, :hi - lo] = True
-            chunks.append((sel, pos_pad, pos_valid))
+            chunks.append((uids, pos_pad, pos_valid))
         return chunks
 
     def _group_chunks(self, pad_multiple: int):
@@ -384,13 +387,18 @@ class Evaluator:
                 metric_names=metric_names, unbiased=self.unbiased)
 
         key = jax.random.PRNGKey(seed)
-        sums = np.zeros((len(metric_names), len(ks)), dtype=np.float64)
+        # accumulate on device and fetch ONCE: group dispatches stay
+        # async and pipeline (a per-group device_get serializes every
+        # dispatch behind a host round-trip — the dominant cost of small
+        # evaluations through a remote/relay device)
+        total = None
         for uids_g, pos_g, valid_g, cis in st["groups"]:
             keys_g = jax.vmap(functools.partial(jax.random.fold_in, key))(
                 cis)
-            sums += np.asarray(
-                run(Wd, Hd, uids_g, pos_g, valid_g, st["hs"], st["props"],
-                    keys_g), dtype=np.float64)
+            part = run(Wd, Hd, uids_g, pos_g, valid_g, st["hs"],
+                       st["props"], keys_g)
+            total = part if total is None else total + part
+        sums = np.asarray(total, dtype=np.float64)
 
         buff = {}
         for mi, name in enumerate(metric_names):

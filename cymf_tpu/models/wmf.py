@@ -84,17 +84,41 @@ class WMF(MFTrainerBase, PersistenceMixin):
         wd = self.weight_decay
         weight = jnp.asarray(self.weight, config.param_dtype())
 
-        def half_sweep(target_key: str, source_key: str,
-                       chunks: List[AlsChunk]):
-            Y = self._state[source_key]
-            A0 = (jnp.matmul(Y.T, Y, preferred_element_type=jnp.float32)
-                  + wd * eye)
-            T = self._state[target_key]
-            for ch in chunks:
-                rows = wmf_chunk_solve(Y, A0, ch.idx_pad, ch.valid, weight,
-                                       solver=self.solver)
-                T = T.at[ch.rows].set(rows, mode="drop", unique_indices=True)
-            self._state[target_key] = T
+        if mesh.num_devices > 1:
+            # explicit shard_map chunk solves: Gramian = local matmul +
+            # psum, C/n systems per device, O(gathered-rows) exchange
+            # (parallel/shard_step.py::sharded_wmf_chunk)
+            from ..parallel.shard_step import sharded_wmf_chunk
+            import functools as _ft
+
+            @_ft.lru_cache(maxsize=None)
+            def _chunk_fn():
+                return sharded_wmf_chunk(mesh, self.weight,
+                                         self.weight_decay,
+                                         self.num_components, self.solver)
+
+            def half_sweep(target_key: str, source_key: str,
+                           chunks: List[AlsChunk]):
+                Y = self._state[source_key]
+                T = self._state[target_key]
+                fn = _chunk_fn()
+                for ch in chunks:
+                    T = fn(Y, T, ch.rows, ch.idx_pad, ch.valid)
+                self._state[target_key] = T
+        else:
+            def half_sweep(target_key: str, source_key: str,
+                           chunks: List[AlsChunk]):
+                Y = self._state[source_key]
+                A0 = (jnp.matmul(Y.T, Y,
+                                 preferred_element_type=jnp.float32)
+                      + wd * eye)
+                T = self._state[target_key]
+                for ch in chunks:
+                    rows = wmf_chunk_solve(Y, A0, ch.idx_pad, ch.valid,
+                                           weight, solver=self.solver)
+                    T = T.at[ch.rows].set(rows, mode="drop",
+                                          unique_indices=True)
+                self._state[target_key] = T
 
         def epoch_fn(epoch):
             half_sweep("W", "H", user_chunks)   # wmf.pyx:111
@@ -113,8 +137,35 @@ class WMF(MFTrainerBase, PersistenceMixin):
         self._finalize_fit()
 
     def _device_chunks(self, chunks: List[AlsChunk]) -> List[AlsChunk]:
-        put = self.mesh.put_replicated
-        return [AlsChunk(put(jnp.asarray(c.rows)), put(jnp.asarray(c.idx_pad)),
-                         put(jnp.asarray(c.valid)),
-                         put(jnp.asarray(c.weights)))
-                for c in chunks]
+        """Place chunk arrays: replicated on one device; on a mesh, the
+        chunk row dim is sharded (the shard_map solve partitions systems
+        over devices) after padding C to a mesh multiple with sentinel
+        (dropped) rows."""
+        mesh = self.mesh
+        n = mesh.num_devices
+        if n == 1:
+            return [AlsChunk(jnp.asarray(c.rows), jnp.asarray(c.idx_pad),
+                             jnp.asarray(c.valid), jnp.asarray(c.weights))
+                    for c in chunks]
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import ROW_AXIS
+        sh2 = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+        rep = mesh.put_replicated
+        out = []
+        for c in chunks:
+            C = len(c.rows)
+            Cp = -(-C // n) * n
+            pad = Cp - C
+            # sentinel pad rows: never owned by any shard, valid all-False
+            rows = np.pad(c.rows, (0, pad),
+                          constant_values=np.int32(2**31 - 1))
+            out.append(AlsChunk(
+                rep(jnp.asarray(rows)),
+                jax.device_put(jnp.asarray(
+                    np.pad(c.idx_pad, ((0, pad), (0, 0)))), sh2),
+                jax.device_put(jnp.asarray(
+                    np.pad(c.valid, ((0, pad), (0, 0)))), sh2),
+                rep(jnp.asarray(np.pad(c.weights, ((0, pad), (0, 0)))))))
+        return out

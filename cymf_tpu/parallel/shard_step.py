@@ -242,6 +242,67 @@ def sharded_relmf_epoch(mesh_ctx, optimizer, weight_decay, clip_value,
     return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))
 
 
+def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
+                      num_components: int, solver: str):
+    """Explicit shard_map WMF chunk solve — the multi-device analogue of
+    ``ops.als.wmf_chunk_solve`` + the target-row scatter.
+
+    The reference's ALS ``prange`` (`/root/reference/cymf/wmf.pyx:150-174`)
+    solves rows on threads over shared RAM; here the source table ``Y`` and
+    target table ``T`` are row-sharded, the chunk's C rows are sharded over
+    devices (each solves C/n K x K systems), the Gramian is a local matmul
+    + psum, and the row exchange is the O(gathered-rows)
+    all_gather/psum_scatter pattern.  Solutions all_gather (C x K, small)
+    so each device scatters the target rows it owns.
+
+    Returns ``fn(Y, T, rows, idx_pad, valid) -> T`` (jitted; T donated).
+    """
+    from .. import config
+    from ..ops.als import _SOLVERS
+
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    w = float(weight)
+    K = num_components
+
+    def chunk(Y, T, rows, idx_pad, valid):
+        rpd_y = Y.shape[0] // n
+        rpd_t = T.shape[0] // n
+        C, Pp = idx_pad.shape
+        Cn = C // n
+
+        def device_chunk(Y_s, T_s, rows_rep, idx_loc, valid_loc):
+            eye = jnp.eye(K, dtype=Y_s.dtype)
+            A0 = jax.lax.psum(
+                jnp.matmul(Y_s.T, Y_s,
+                           preferred_element_type=jnp.float32),
+                ROW_AXIS) + weight_decay * eye
+            flat_all = jax.lax.all_gather(idx_loc.reshape(-1), ROW_AXIS,
+                                          tiled=True)
+            sub = _resolve_rows(Y_s, flat_all, rpd_y).reshape(Cn, Pp, -1)
+            sub = sub * valid_loc[..., None].astype(Y_s.dtype)
+            A = A0[None] + (w - 1.0) * jnp.einsum(
+                "cpk,cpl->ckl", sub, sub,
+                preferred_element_type=jnp.float32)
+            b = w * jnp.sum(sub, axis=1)
+            x = _SOLVERS[solver](A, b)
+            nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
+            x = jnp.where(nonempty, x, 0.0)
+            x_all = jax.lax.all_gather(x, ROW_AXIS, tiled=True)  # (C, K)
+            T_s = T_s.at[_owned_rows(rows_rep, rpd_t)].set(
+                x_all, mode="drop", unique_indices=True)
+            return T_s
+
+        fn = jax.shard_map(
+            device_chunk, mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), P(),
+                      P(ROW_AXIS, None), P(ROW_AXIS, None)),
+            out_specs=P(ROW_AXIS, None), check_vma=False)
+        return fn(Y, T, rows, idx_pad, valid)
+
+    return jax.jit(chunk, donate_argnums=(1,))
+
+
 def sharded_glove_epoch(mesh_ctx, optimizer, x_max, alpha, num_components,
                         num_central):
     """Explicit shard_map GloVe epoch (fused-bias mode) — the multi-device

@@ -53,5 +53,9 @@ def test_evaluator_seed_reproducible():
     a = ev.evaluate(W, H, seed=3)
     b = ev.evaluate(W, H, seed=3)
     assert a == b
-    c = ev.evaluate(W, H, seed=4)
-    assert any(a[k] != c[k] for k in a)
+    # a different seed changes the negative draws; on this tiny catalog a
+    # single pair of seeds can coincide on the coarse metric values, so
+    # scan a few — at least one must differ
+    assert any(
+        any(a[k] != c[k] for k in a)
+        for c in (ev.evaluate(W, H, seed=s) for s in range(4, 10)))

@@ -299,3 +299,54 @@ def test_glove_sharded_no_table_collectives_and_flops_shrink():
     f1 = _glove_compiled(1).cost_analysis()["flops"]
     f8 = c8.cost_analysis()["flops"]
     assert f8 < 0.55 * f1, (f1, f8)
+
+
+# WMF proof shapes: tables much bigger than the chunk exchange, so a
+# table-sized collective is distinguishable from the legitimate
+# O(chunk-rows x pad x K) row exchange (= WC*WP_*WKC = 512k elements).
+WU2, WI2 = 65536, 32768
+WC, WP_, WKC = 512, 64, 16
+
+
+def _wmf_compiled(n_devices):
+    from cymf_tpu.ops.als import wmf_chunk_solve
+    from cymf_tpu.parallel.mesh import MeshContext
+    from cymf_tpu.parallel.shard_step import sharded_wmf_chunk
+    import functools as ft
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    Y = mesh.put_table(jnp.asarray(rng.normal(size=(WI2, WKC)),
+                                   jnp.float32))
+    T = mesh.put_table(jnp.asarray(rng.normal(size=(WU2, WKC)),
+                                   jnp.float32))
+    rows = mesh.put_replicated(
+        jnp.asarray(rng.permutation(WU2)[:WC], jnp.int32))
+    idx = jnp.asarray(rng.integers(0, WI2, (WC, WP_)), jnp.int32)
+    valid = jnp.asarray(rng.random((WC, WP_)) < 0.7)
+    if n_devices == 1:
+        def solve_and_scatter(Y, T, rows, idx, valid):
+            A0 = (jnp.matmul(Y.T, Y, preferred_element_type=jnp.float32)
+                  + 0.01 * jnp.eye(WKC, dtype=Y.dtype))
+            x = wmf_chunk_solve(Y, A0, idx, valid,
+                                jnp.asarray(10.0, Y.dtype),
+                                solver="cholesky")
+            return T.at[rows].set(x, mode="drop", unique_indices=True)
+        fn = jax.jit(solve_and_scatter)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from cymf_tpu.parallel.mesh import ROW_AXIS
+        sh2 = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+        idx = jax.device_put(idx, sh2)
+        valid = jax.device_put(valid, sh2)
+        fn = sharded_wmf_chunk(mesh, 10.0, 0.01, WKC, "cholesky")
+    return fn.lower(Y, T, rows, idx, valid).compile()
+
+
+def test_wmf_sharded_no_table_collectives_and_flops_shrink():
+    assert len(jax.devices()) >= 8
+    c8 = _wmf_compiled(8)
+    _assert_no_table_collectives(c8.as_text(), WI2 * WKC)
+    f1 = _wmf_compiled(1).cost_analysis()["flops"]
+    f8 = c8.cost_analysis()["flops"]
+    assert f8 < 0.55 * f1, (f1, f8)
