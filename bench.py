@@ -14,7 +14,8 @@ reference, whose `sklearn.utils.shuffle` is likewise untimed outside the
 epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
-  BENCH_MODEL=bpr|bpr_xla|bpr_pallas|wmf|relmf|expomf|glove|evaluator|all
+  BENCH_MODEL=bpr|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|glove|
+              evaluator|all
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
   BENCH_DIM=N       override embedding dim (default 20)
@@ -108,6 +109,72 @@ def bench_bpr_packed():
     ips = S * B / dt
     return {"metric": "bpr_interactions_per_sec", "value": round(ips, 1),
             "unit": "interactions/s", "vs_baseline": round(ips / 5.4e6, 2)}
+
+
+def bench_bpr_wide():
+    """The wide-row fused engine (K >= 128 — BASELINE.json's d=256 scale
+    config) at ML-20M shapes.  vs_baseline scales the reference's d=20
+    CPU rate by 20/K (its per-interaction work is linear in d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
+                                           prep_epoch)
+    from cymf_tpu.ops.wide_epoch import (pack_wide, prep_static_wide,
+                                         wide_bpr_epoch, wide_rows)
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U = int(os.environ.get("BENCH_USERS", "138493"))
+    I = int(os.environ.get("BENCH_ITEMS", "26744"))
+    nnz = 1_000_000 if small else 20_000_263
+    nnz = int(os.environ.get("BENCH_NNZ", str(nnz)))
+    K = int(os.environ.get("BENCH_DIM", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    B = -(-B // 1024) * 1024
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    S = max(1, len(users) // B)
+    u2 = users[:S * B].reshape(S, B)
+    i2 = items[:S * B].reshape(S, B)
+    order = np.argsort(u2, axis=1, kind="stable")
+    u2 = np.take_along_axis(u2, order, axis=1)
+    i2 = np.take_along_axis(i2, order, axis=1)
+
+    wrows = 512
+    rw, rh = wide_rows(U, wrows), wide_rows(I, wrows)
+    rowsu, winw, si, rowsi, wini = prep_static_wide(u2, i2, rw, rh, wrows)
+    pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+    j2, mask, sj, rowsj, winj = prep_epoch(
+        np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows)
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(pack_wide(rng.uniform(-0.1, 0.1, (U, K)) / K, K, wrows))
+    H = jnp.asarray(pack_wide(rng.uniform(-0.1, 0.1, (I, K)) / K, K, wrows))
+    opt = make_packed_optimizer("adam", 0.001)
+    ow, oh = opt.init(W), opt.init(H)
+    args = [jnp.asarray(x) for x in
+            (u2, i2, rowsu, winw, si, rowsi, wini, j2, mask, sj, rowsj,
+             winj)]
+    n_valid = jnp.asarray(S * B, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    state = [W, H, ow, oh]
+
+    def run():
+        state[0], state[1], state[2], state[3], loss = wide_bpr_epoch(
+            state[0], state[1], state[2], state[3], *args, n_valid,
+            opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
+            rh=rh, wrows=wrows, interpret=interpret)
+        return loss
+
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    ips = S * B / dt
+    ref = 5.4e6 * 20.0 / K
+    return {"metric": f"bpr_wide_d{K}_interactions_per_sec",
+            "value": round(ips, 1), "unit": "interactions/s",
+            "vs_baseline": round(ips / ref, 2)}
 
 
 def bench_bpr_xla():
@@ -412,6 +479,7 @@ def bench_bpr_pallas():
 
 _MODES = {
     "bpr": bench_bpr_packed,
+    "bpr_wide": bench_bpr_wide,
     "bpr_xla": bench_bpr_xla,
     "bpr_pallas": bench_bpr_pallas,
     "wmf": bench_wmf,
