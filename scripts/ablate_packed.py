@@ -1,0 +1,163 @@
+"""Per-stage ablation of the packed fused BPR step (v5 pipeline).
+
+Times cumulative stage prefixes of `cymf_tpu.ops.packed_epoch.packed_bpr_epoch`
+at ML-20M shapes (B=131072, d=20) the same way docs/PERF.md's breakdown
+table was produced: each stage is a jitted S-step `lax.scan` whose carry
+forces the stage's outputs to stay live, timed with a true value-fetch
+barrier (`jax.device_get` — `block_until_ready` does not synchronize
+through the axon relay, CLAUDE.md).
+
+Stages (cumulative):
+  1 gathers      Hp[i] + decorated Hp[j] (the two remaining XLA gathers)
+  2 sample       + fused v5 sample kernel (W window DMA + one-hot
+                 expansion + score/loss/placement)
+  3 reorder      + Q[si], Q[sj] sort-permutation gathers
+  4 accum        + sorted_accum (W) + sorted_accum_dual (H)
+  5 optimizer    + packed Adam passes == the full step
+
+Usage:  timeout 1800 python scripts/ablate_packed.py [steps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.fused_sample import bpr_sample_phase_v5, decorate
+    from cymf_tpu.ops.packed_epoch import (_fold_rows, make_packed_optimizer,
+                                           packed_bpr_epoch, prep_epoch,
+                                           prep_static)
+    from cymf_tpu.ops.sorted_accum import sorted_accum, sorted_accum_dual
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    U = int(os.environ.get("ABL_USERS", "138493"))
+    I = int(os.environ.get("ABL_ITEMS", "26744"))
+    K = int(os.environ.get("ABL_DIM", "20"))
+    B = int(os.environ.get("ABL_BATCH", "131072"))
+    wrows_w = wrows_h = 512
+    TILE = 1024
+    interpret = jax.default_backend() != "tpu"
+
+    users, items = bench_interactions(U, I, S * B, seed=0)
+    u2 = users[:S * B].reshape(S, B)
+    i2 = items[:S * B].reshape(S, B)
+    order = np.argsort(u2, axis=1, kind="stable")
+    u2 = np.take_along_axis(u2, order, axis=1)
+    i2 = np.take_along_axis(i2, order, axis=1)
+
+    rw = pk.packed_rows(U, K, multiple=wrows_w)
+    rh = pk.logical_rows(I, multiple=wrows_h)
+    winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
+                                                wrows_w, wrows_h)
+    pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+    j2, mask, sj, rowsj, winj = prep_epoch(
+        np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
+
+    rng = np.random.default_rng(0)
+    Wp = jnp.asarray(pk.pack_array(
+        rng.uniform(-0.1, 0.1, (U, K)) / K, K, multiple=wrows_w))
+    Hp = jnp.asarray(pk.pack_logical(
+        rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows_h))
+    opt = make_packed_optimizer("adam", 0.001)
+    ow, oh = opt.init(Wp), opt.init(Hp)
+    xs = tuple(jnp.asarray(x) for x in
+               (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw,
+                wstart))
+    s = pk.num_slots(K)
+
+    def stage_scan(body):
+        @jax.jit
+        def run():
+            def step(carry, x):
+                return carry + body(x), None
+            out, _ = jax.lax.scan(step, jnp.float32(0), xs)
+            return out
+        return run
+
+    def g_gather(x):
+        u, i, _, _, _, j, mf, *_ = x
+        Dj = decorate(Hp[j], u % s, mf, K)
+        return jnp.sum(Hp[i][0]) + jnp.sum(Dj[0])
+
+    def g_sample(x):
+        u, i, _, _, _, j, mf, *_ = x
+        Dj = decorate(Hp[j], u % s, mf, K)
+        SW, Q, lossp = bpr_sample_phase_v5(
+            Wp, x[11], _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
+            interpret=interpret)
+        return jnp.sum(SW[0]) + jnp.sum(Q[0]) + lossp[0, 0]
+
+    def g_reorder(x):
+        u, i, sip, _, _, j, mf, sjp, *_ = x
+        Dj = decorate(Hp[j], u % s, mf, K)
+        SW, Q, lossp = bpr_sample_phase_v5(
+            Wp, x[11], _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
+            interpret=interpret)
+        return (jnp.sum(SW[0]) + jnp.sum(Q[sip][0]) + jnp.sum(Q[sjp][0])
+                + lossp[0, 0])
+
+    def g_accum(x):
+        u, i, sip, rowsi_t, wi, j, mf, sjp, rowsj_t, wj, ww, wst = x
+        Dj = decorate(Hp[j], u % s, mf, K)
+        SW, Q, lossp = bpr_sample_phase_v5(
+            Wp, wst, _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
+            interpret=interpret)
+        Aw = sorted_accum(_fold_rows(u // s), SW, ww[0], ww[1], r_pad=rw,
+                          wrows=wrows_w, tile=TILE, interpret=interpret,
+                          precision="split")
+        D = sorted_accum_dual(
+            rowsi_t, Q[sip], wi[0], wi[1], rowsj_t, Q[sjp], wj[0], wj[1],
+            r_pad=rh, neg_lanes=K, wrows=wrows_h, tile=TILE,
+            interpret=interpret, precision="split")
+        return jnp.sum(Aw[0]) + jnp.sum(D[0]) + lossp[0, 0]
+
+    def time_run(name, run):
+        out = run()
+        float(jax.device_get(out))
+        t0 = time.perf_counter()
+        out = run()
+        float(jax.device_get(out))
+        dt = (time.perf_counter() - t0) / S
+        print(f"{name:12s} {dt * 1e3:7.3f} ms/step", flush=True)
+        return dt
+
+    print(f"S={S} B={B} d={K} rw={rw} rh={rh} "
+          f"backend={jax.default_backend()}", flush=True)
+    time_run("gathers", stage_scan(g_gather))
+    time_run("sample", stage_scan(g_sample))
+    time_run("reorder", stage_scan(g_reorder))
+    time_run("accum", stage_scan(g_accum))
+
+    # full step (stage 5) via the real epoch function
+    state = [Wp, Hp, ow, oh]
+    n_valid = jnp.asarray(S * B, jnp.int32)
+
+    def full():
+        state[0], state[1], state[2], state[3], loss = packed_bpr_epoch(
+            state[0], state[1], state[2], state[3], *xs, n_valid,
+            opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
+            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+        return loss
+
+    full()
+    float(jax.device_get(state[0][0, 0]))
+    t0 = time.perf_counter()
+    full()
+    float(jax.device_get(state[0][0, 0]))
+    dt = (time.perf_counter() - t0) / S
+    print(f"{'full step':12s} {dt * 1e3:7.3f} ms/step "
+          f"= {B / dt / 1e6:.1f}M interactions/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
