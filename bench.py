@@ -76,8 +76,8 @@ def bench_bpr_packed():
     wrows_w, wrows_h = 512, 512
     rw = pk.packed_rows(U, K, multiple=wrows_w)
     rh = pk.logical_rows(I, multiple=wrows_h)
-    winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, wrows_w,
-                                                wrows_h)
+    winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
+        u2, i2, K, rw, rh, wrows_w, wrows_h)
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
@@ -92,7 +92,7 @@ def bench_bpr_packed():
     ow, oh = opt.init(Wp), opt.init(Hp)
     args = [jnp.asarray(x) for x in
             (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw,
-             wstart)]
+             wstart, bcs, bcn)]
     n_valid = jnp.asarray(S * B, jnp.int32)
     interpret = jax.default_backend() != "tpu"
 
@@ -102,7 +102,8 @@ def bench_bpr_packed():
         state[0], state[1], state[2], state[3], loss = packed_bpr_epoch(
             state[0], state[1], state[2], state[3], *args, n_valid,
             opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
-            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret,
+            kernel_v=kernel_v)
         return loss
 
     dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)

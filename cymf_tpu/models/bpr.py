@@ -461,8 +461,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
         rh = pk.logical_rows(I, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
-                                                    wrows_w, wrows_h)
+        winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
+            u2, i2, K, rw, rh, wrows_w, wrows_h)
+        # which fused pipeline ran (6/5/4 — data-dependent, see
+        # ops.packed_epoch.engine_version); for diagnostics/repro
+        self.packed_kernel_ = kernel_v
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
 
@@ -478,6 +481,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
         wini_d = jnp.asarray(wini)
         winw_d = jnp.asarray(winw)
         wstart_d = jnp.asarray(wstart)
+        bcs_d = jnp.asarray(bcs)
+        bcn_d = jnp.asarray(bcn)
         n_valid = jnp.asarray(N, jnp.int32)
 
         def publish():
@@ -537,10 +542,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
                 jnp.asarray(j2), jnp.asarray(mask), jnp.asarray(sj),
                 jnp.asarray(rowsj), jnp.asarray(winj), winw_d, wstart_d,
-                n_valid,
+                bcs_d, bcn_d, n_valid,
                 opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
-                wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+                wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret,
+                kernel_v=kernel_v)
             publish()
 
         def snapshot_fn():

@@ -1,0 +1,302 @@
+"""v6 fused BPR block step: sample phase + W-side accumulation in ONE
+Pallas kernel (packed fast path, round 3).
+
+v5 (`ops/fused_sample.py` + `ops/sorted_accum.py`) materializes the
+W-side gradient stream ``SW`` to HBM (a (B, 128) write) only for the
+W accumulation kernel to stream it straight back in (a (B, 128) read) —
+~134MB/step of pure round-trip at ML-20M shapes.  v6 merges the two:
+the kernel grids over **W-table blocks** (``wrows`` packed rows each) and,
+for each block, processes its *home chunks* of u-sorted samples
+end-to-end in VMEM:
+
+  1. DMA the chunk's item rows (``Hi``), decorated negative rows
+     (``Dj``), and its W expansion window (u-sorted samples span < 264
+     packed rows per 1024-sample chunk at s >= 4).
+  2. Expand per-sample packed W rows with a one-hot MXU contraction
+     (exact via two bf16 dots — one-hot entries are exact in bf16 and
+     the f32 payload splits into hi+lo halves).
+  3. Sample math (score, sigmoid, loss, lane placement) — v5's kernel
+     body.  The per-sample loss lands on **lane 127** of the W gradient
+     stream (free for s*(K+1) <= 127), so the accumulated table block
+     carries the loss sum and no separate loss output exists.
+  4. Write the compact H-side product ``Q`` out (both item-side
+     accumulations gather from it — `ops/sorted_accum.py`), and
+     accumulate the W gradient stream into the block **plus a spill
+     buffer**: a chunk whose samples overrun the block boundary
+     contributes its tail rows to a (SPILL, 128) VMEM scratch that the
+     NEXT block folds in before its own chunks.  Each chunk is
+     processed exactly once (v5's tile-aligned window ranges reprocess
+     straddling tiles once per side).
+
+Chunk -> home-block assignment is host-computed (`prep_blocks`): chunk
+``g`` belongs to ``bid[g] = wstart[g] // wrows`` (its first sample's
+packed row), which is nondecreasing because u is sorted; sample rows
+then fall in ``[bid*wrows, (bid+1)*wrows + CROWS)`` — block + spill.
+
+Replaces the same reference Hogwild loop as v4/v5
+(`/root/reference/cymf/bpr.pyx:162-169`, `model.pyx:54-87`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import packed as pk
+
+LANES = 128
+TILE = 1024
+# W rows covering one chunk's expansion: ceil(TILE/s) + 1 <= 257 at
+# s >= 4, rounded to a sublane multiple.
+CROWS = 264
+LOSS_LANE = 127
+
+
+def supports_v6(K: int, rw: int, wrows: int = 512) -> bool:
+    """v6 needs >= 4 slots (chunk expansion window), a free lane 127 for
+    the loss channel, a table at least one expansion window tall, and
+    blocks tall enough that a chunk's spill never crosses more than one
+    block boundary (``wrows >= CROWS``)."""
+    s = pk.num_slots(K)
+    return s >= 4 and s * (K + 1) <= LOSS_LANE and rw >= CROWS \
+        and rw % wrows == 0 and wrows >= CROWS
+
+
+def prep_blocks(wstart: np.ndarray, rw: int, wrows: int = 512):
+    """Host-side: per-block home chunk ranges.  ``wstart`` is the
+    per-chunk expansion window start (`prep_static`), nondecreasing.
+    Returns (cs, cn): int32[rw//wrows] start chunk id and chunk count."""
+    bid = (np.asarray(wstart, np.int64) // wrows)
+    nb = rw // wrows
+    edges = np.searchsorted(bid, np.arange(nb + 1)).astype(np.int32)
+    return edges[:-1], (edges[1:] - edges[:-1]).astype(np.int32)
+
+
+def _kernel(cs_ref, cn_ref, wstart_ref, rowsw, wp_hbm, hi_hbm, dj_hbm,
+            aw_ref, q_hbm, w_s0, w_s1, hi_s0, hi_s1, dj_s0, dj_s1,
+            q_s, spill, in_sems, q_sem, *, K, s, cb, wd, tile,
+            wrows, interpret):
+    b = pl.program_id(0)
+    groups = tile // LANES
+    base = b * wrows
+
+    if interpret:
+        def roll(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def roll(x, shift):
+            return pltpu.roll(x, shift % LANES, axis=1)
+
+    w_slots = (w_s0, w_s1)
+    hi_slots = (hi_s0, hi_s1)
+    dj_slots = (dj_s0, dj_s1)
+
+    @pl.when(b == 0)
+    def _():
+        spill[:] = jnp.zeros_like(spill)
+
+    # fold the incoming spill (rows [base, base + SPILL)) into this block
+    aw_ref[:] = jnp.pad(spill[...],
+                        ((0, wrows - spill.shape[0]), (0, 0)))
+    spill[:] = jnp.zeros_like(spill)
+
+    c0 = cs_ref[b]
+    nc = cn_ref[b]
+
+    def dma_in(g, slot):
+        return (pltpu.make_async_copy(
+                    wp_hbm.at[pl.ds(wstart_ref[g], CROWS), :],
+                    w_slots[slot], in_sems.at[0, slot]),
+                pltpu.make_async_copy(
+                    hi_hbm.at[pl.ds(g * tile, tile), :],
+                    hi_slots[slot], in_sems.at[1, slot]),
+                pltpu.make_async_copy(
+                    dj_hbm.at[pl.ds(g * tile, tile), :],
+                    dj_slots[slot], in_sems.at[2, slot]))
+
+    @pl.when(nc > 0)
+    def _():
+        for cp in dma_in(c0, 0):
+            cp.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    paymask = (lane < K).astype(jnp.float32)
+    cmaskb = (lane >= cb) & (lane < cb + s)
+    cmask = cmaskb.astype(jnp.float32)
+    qk = (lane == K).astype(jnp.float32)
+    lossk = (lane == LOSS_LANE).astype(jnp.float32)
+    arows = wrows + spill.shape[0]
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (arows, LANES), 0) + base
+
+    def process(c, slot):
+        g = c0 + c
+        for cp in dma_in(g, slot):
+            cp.wait()
+        cs_w = wstart_ref[g]
+        pr = rowsw[pl.ds(g * groups, groups), :]
+
+        # --- W expansion: two bf16 dots (hi+lo split), exact to f32
+        e_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (CROWS, LANES), 0) + cs_w
+        hot_e = jnp.concatenate(
+            [(pr[a:a + 1, :] == e_iota).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)            # (CROWS, tile)
+        w32 = w_slots[slot][...]
+        whi = w32.astype(jnp.bfloat16)
+        wlo = (w32 - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Du_e = jax.lax.dot_general(
+            hot_e, whi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Du_e = Du_e + jax.lax.dot_general(
+            hot_e, wlo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (tile, 128)
+
+        Djr = dj_slots[slot][...]
+        slotcol = Djr * cmask
+        Du = Du_e * (lane < cb).astype(jnp.float32) + slotcol
+        hi = hi_slots[slot][...]
+        hj = Djr * paymask
+
+        def compact(D):
+            acc = D[:, cb:cb + 1] * D
+            for c2 in range(1, s):
+                acc = acc + D[:, cb + c2:cb + c2 + 1] * roll(D, -c2 * K)
+            return acc * paymask
+
+        wu = compact(Du)
+        diff = hi - hj
+        x = jnp.sum(wu * diff, axis=1, keepdims=True)
+        sig = jax.nn.sigmoid(-x)
+        mcol = jnp.sum(Du * cmask, axis=1, keepdims=True)
+        l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1, keepdims=True)
+        loss = (-jax.nn.log_sigmoid(x) + wd * l2) * mcol
+
+        def placed(D, vals):
+            out = D * cmask + D[:, cb:cb + 1] * vals
+            for c2 in range(1, s):
+                out = out + D[:, cb + c2:cb + c2 + 1] * roll(vals, c2 * K)
+            return out
+
+        # loss rides the free lane: the block accumulation sums it per
+        # row and the epilogue reduces Aw[:, 127] — in-window samples
+        # only, so straddle chunks never double-count (their rows fall
+        # in this block's [base, base+arows) exactly once).
+        sw = placed(Du, sig * diff) + loss * lossk
+
+        # --- Q out: fill the slab, start the copy, and let it land
+        # under the accumulation dots below (waited before returning —
+        # the slab is reused by the next chunk)
+        q_s[:] = sig * wu + mcol * qk
+        q_copy = pltpu.make_async_copy(
+            q_s, q_hbm.at[pl.ds(g * tile, tile), :], q_sem)
+        q_copy.start()
+
+        # --- block + spill accumulation: one (arows, tile) one-hot,
+        # two bf16 dots against the hi/lo split of sw
+        hot_a = jnp.concatenate(
+            [(pr[a:a + 1, :] == a_iota).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)            # (arows, tile)
+        shi = sw.astype(jnp.bfloat16)
+        slo = (sw - shi.astype(jnp.float32)).astype(jnp.bfloat16)
+        A = jax.lax.dot_general(
+            hot_a, shi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A = A + jax.lax.dot_general(
+            hot_a, slo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (arows, 128)
+        aw_ref[:] += A[:wrows]
+        spill[:] += A[wrows:]
+        q_copy.wait()
+
+    def body(p, _):
+        c2 = p * 2
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            for cp in dma_in(c0 + c2 + 1, 1):
+                cp.start()
+
+        process(c2, 0)
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            @pl.when(c2 + 2 < nc)
+            def _():
+                for cp in dma_in(c0 + c2 + 2, 0):
+                    cp.start()
+
+            process(c2 + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(nc, 2), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "wd", "rw", "wrows",
+                                             "tile", "interpret"))
+def bpr_block_step_v6(Wp, rowsw, Hi, Dj_dec, wstart, cs, cn, *, K: int,
+                      wd: float, rw: int, wrows: int = 512,
+                      tile: int = TILE, interpret: bool = False):
+    """Fused sample phase + W accumulation.
+
+    Args:
+      Wp: (rw, 128) packed user table (HBM).
+      rowsw: int32[B/128, 128] lane-major folded per-sample packed rows.
+      Hi: (B, 128) gathered item rows ``Hp[i]`` (u-order).
+      Dj_dec: (B, 128) gathered+decorated negative rows (u-order).
+      wstart: int32[B/tile] per-chunk expansion window starts
+        (``clip(row[g*tile], 0, rw - CROWS)``, host-computed).
+      cs, cn: int32[rw//wrows] per-block home chunk ranges
+        (:func:`prep_blocks`).
+
+    Returns:
+      Aw: (rw, 128) accumulated W-side stream — payload+count channels
+        as `sorted_accum` would produce, loss sum on lane 127.
+      Q: (B, 128) compact H-side product, as v5.
+    """
+    B = Hi.shape[0]
+    if B % tile:
+        raise ValueError("B must be a multiple of tile")
+    s, cb = pk.num_slots(K), pk.count_base(K)
+    if not supports_v6(K, rw, wrows):
+        raise ValueError("v6 gate: need s >= 4, s*(K+1) <= 127, "
+                         "rw >= CROWS and rw % wrows == 0")
+    nb = rw // wrows
+    spill_rows = CROWS
+    kern = functools.partial(
+        _kernel, K=int(K), s=s, cb=cb, wd=float(wd), tile=tile,
+        wrows=wrows, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
+                  pl.BlockSpec(memory_space=pl.ANY),       # Wp
+                  pl.BlockSpec(memory_space=pl.ANY),       # Hi
+                  pl.BlockSpec(memory_space=pl.ANY)],      # Dj
+        out_specs=[pl.BlockSpec((wrows, LANES), lambda b, *_: (b, 0),
+                                memory_space=pltpu.VMEM),  # Aw
+                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+        scratch_shapes=[
+            pltpu.VMEM((CROWS, LANES), jnp.float32),       # w slabs
+            pltpu.VMEM((CROWS, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # hi slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # dj slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # q slab
+            pltpu.VMEM((spill_rows, LANES), jnp.float32),  # spill
+            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        interpret=interpret,
+    )(cs, cn, wstart, rowsw, Wp, Hi, Dj_dec)

@@ -61,6 +61,8 @@ import numpy as np
 from . import packed as pk
 from .fused_sample import (TILE as SAMPLE_TILE, WROWS_A, bpr_sample_phase,
                            bpr_sample_phase_v5, decorate)
+from .fused_step import (CROWS, LOSS_LANE, bpr_block_step_v6, prep_blocks,
+                         supports_v6)
 from .sorted_accum import sorted_accum, sorted_accum_dual, window_ranges
 
 TILE = 1024
@@ -147,12 +149,14 @@ def _pad_lanes(a):
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
                               "rh", "wrows_w", "wrows_h", "interpret",
-                              "precision"))
+                              "precision", "kernel_v"))
 def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                      rowsi_steps, wini, j_steps, mask_steps, sj_steps,
-                     rowsj_steps, winj, winw, wstart_steps, n_valid, *,
+                     rowsj_steps, winj, winw, wstart_steps, cs_steps,
+                     cn_steps, n_valid, *,
                      opt_name, lr, weight_decay, K, rw, rh, wrows_w=512,
-                     wrows_h=512, interpret=False, precision="split"):
+                     wrows_h=512, interpret=False, precision="split",
+                     kernel_v=4):
     """One epoch over S pre-sorted minibatches (scan).  ``Wp`` is the
     packed user table (``rw`` physical rows); ``Hp`` is the LOGICAL item
     table (``rh`` = padded item count, payload lanes [0, K), count lane
@@ -168,15 +172,23 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
       mask_steps f32[S, B]       1 = live sample (in-data, no collision)
       sj/rowsj/winj              j-side analogues of si/rowsi/wini
       winw int32[S, 2, NWW]      W-side windows over the sorted users
-      wstart_steps int32[S, B/SAMPLE_TILE]  per-sample-tile W expansion
-                                 window starts (v5 sample kernel)
+      wstart_steps int32[S, B/SAMPLE_TILE or B/TILE]  per-chunk W
+                                 expansion window starts (v5/v6 kernels)
+      cs_steps/cn_steps int32[S, rw/wrows_w]  per-block home chunk
+                                 ranges (v6 kernel, `prep_blocks`)
 
-    v5 (s >= 2): the W table is never gathered by XLA — the sample kernel
-    expands each tile's rows from a DMA'd window (``bpr_sample_phase_v5``),
-    with the mask/slot decoration riding the j-stream's dead lanes, and
-    both H-side accumulations run as ONE dual-stream kernel producing
-    ``Aj - Ai`` with summed counts directly (``sorted_accum_dual``).
-    s == 1 (64 <= K <= 127) falls back to the v4 pipeline.
+    ``kernel_v`` comes from :func:`prep_static` (data-dependent — see
+    :func:`engine_version`): 6 = ONE kernel fuses the sample phase with
+    the W-side accumulation (``bpr_block_step_v6``) — the W gradient
+    stream never touches HBM and the loss rides lane 127 of the
+    accumulated block; 5 = the W table is never gathered by XLA — the
+    sample kernel expands each tile's rows from a DMA'd window
+    (``bpr_sample_phase_v5``), with the mask/slot decoration riding the
+    j-stream's dead lanes; 4 = XLA W gather + sample kernel + separate
+    accumulation (correct for any user sparsity — 5/6 require every
+    chunk's row span to fit its expansion window).  All paths run the
+    H-side accumulations as ONE dual-stream kernel producing ``Aj - Ai``
+    with summed counts (``sorted_accum_dual``).
     """
     opt = make_packed_optimizer(opt_name, lr)
     wd = jnp.float32(weight_decay)
@@ -186,29 +198,42 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                             precision=precision)
     payb = jnp.arange(pk.LANES) < K
     payf = payb.astype(jnp.float32)
+    if kernel_v == 5 and s < 2:
+        raise ValueError("kernel_v=5 requires >= 2 slots per row")
 
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
-        u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww, wstart = xs
+        u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww, wstart, bcs, bcn = xs
         phys_u, slot_u = u // s, u % s
 
         # fused sample phase (Pallas): W slot extraction, score/loss, and
         # W lane placement happen on VMEM tiles — XLA's forms of the same
         # ops each cost a full (B, 128) HBM round-trip (docs/PERF.md).
         # H rows gather raw: the logical layout is already lane-aligned.
-        if s >= 2:
+        if kernel_v == 6:
+            Dj = decorate(Hp[j], slot_u, mf, K)
+            Aw, Q = bpr_block_step_v6(
+                Wp, _fold_rows(phys_u), Hp[i], Dj, wstart, bcs, bcn,
+                K=K, wd=weight_decay, rw=rw, wrows=wrows_w,
+                interpret=interpret)
+            loss_step = jnp.sum(Aw[:, LOSS_LANE])
+        elif kernel_v == 5:
             Dj = decorate(Hp[j], slot_u, mf, K)
             SW, Q, lossp = bpr_sample_phase_v5(
                 Wp, wstart, _fold_rows(phys_u), Hp[i], Dj, K=K,
                 wd=weight_decay, interpret=interpret)
+            loss_step = lossp[0, 0]
         else:
-            Du = decorate(Wp[phys_u], slot_u, mf, K)
+            Du = decorate(Wp.at[phys_u].get(indices_are_sorted=True,
+                                            mode="promise_in_bounds"),
+                          slot_u, mf, K)
             SW, Q, lossp = bpr_sample_phase(
                 Du, Hp[i], Hp[j], K=K, wd=weight_decay, interpret=interpret)
-        loss_step = lossp[0, 0]
+            loss_step = lossp[0, 0]
 
-        Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
-                 wrows=wrows_w)
+        if kernel_v != 6:
+            Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
+                     wrows=wrows_w)
         gw, nw = pk.split_counts(Aw, K)
         nwE = pk.expand_counts(nw, K)
         gbw = _pad_lanes(-gw + wd * nwE * Wp[:, :cb])
@@ -231,7 +256,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
         step, init, (u_steps, i_steps, si_steps, rowsi_steps, wini,
                      j_steps, mask_steps, sj_steps, rowsj_steps, winj,
-                     winw, wstart_steps))
+                     winw, wstart_steps, cs_steps, cn_steps))
     return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
@@ -269,27 +294,96 @@ def _sorted_side(vals2, r_pad, wrows, tile):
     return perm, rows, win
 
 
+def _spans_fit(pu2, stride: int, margin: int, rw: int) -> bool:
+    """True iff EVERY `stride`-sample chunk of every step's (sorted)
+    packed-row stream fits a `margin`-row expansion window anchored at
+    its first row (clipped to ``rw - margin``).  The naive bound
+    "a chunk of `stride` sorted samples spans <= ceil(stride/s)+1 rows"
+    only holds when the chunk's users are CONSECUTIVE — a sparse batch
+    (users absent from this step) has gaps, and a chunk's row span is
+    unbounded.  Samples outside the window would silently expand to a
+    zero W row (wrong gradients), so the engine version gate is DATA
+    dependent; chunked streams that do not fit fall back to the XLA
+    W-gather pipeline (v4), which is span-independent.
+
+    Padding samples (PAD_USER sentinel — rows >= rw, sorted last) are
+    excluded: their one-hot never matches and their mask is 0, so their
+    expanded values are irrelevant."""
+    S, B = pu2.shape
+    ch = pu2.reshape(S, B // stride, stride)
+    first = ch[:, :, 0]
+    # per-chunk max over in-table rows only (-1 when the chunk is all
+    # padding — trivially fits)
+    lastv = np.where(ch < rw, ch, -1).max(axis=2)
+    return bool(np.all((lastv - first < margin) | (first > rw - margin)
+                       | (lastv < 0)))
+
+
+def engine_version(K: int, rw: int, wrows_w: int, u2=None,
+                   tile: int = TILE) -> int:
+    """Which fused kernel pipeline the packed engine runs for THESE
+    batches: 6 (fully fused sample+W-accumulation block kernel), 5
+    (in-kernel W expansion sample kernel + separate accumulation), or 4
+    (XLA W gather + sample kernel + separate accumulation — correct for
+    any user sparsity).  ``u2`` is the [S, B] sorted user stream; without
+    it only the static gates apply (shape-only callers).  Env overrides:
+    ``CYMF_TPU_PACKED_KERNEL=4|5|6`` forces (6/5 still subject to
+    correctness gates), ``CYMF_TPU_PACKED_V6=0`` disables v6."""
+    import os
+    s = pk.num_slots(K)
+    forced = os.environ.get("CYMF_TPU_PACKED_KERNEL", "")
+    no_v6 = os.environ.get("CYMF_TPU_PACKED_V6", "").lower() in (
+        "0", "off", "false") or forced in ("4", "5")
+    if forced == "4":
+        return 4
+    pu2 = None
+    if u2 is not None:
+        pu2 = np.minimum(np.asarray(u2).astype(np.int64) // s,
+                         np.iinfo(np.int32).max)
+    if not no_v6 and supports_v6(K, rw, wrows_w) and (
+            pu2 is None or _spans_fit(pu2, tile, CROWS, rw)):
+        return 6
+    wrows_a = min(WROWS_A, rw)
+    if s >= 2 and wrows_a >= min(-(-SAMPLE_TILE // s) + 1, rw) and (
+            pu2 is None or _spans_fit(pu2, SAMPLE_TILE, wrows_a, rw)):
+        return 5
+    return 4
+
+
 def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
                 wrows_h: int, tile: int = TILE):
-    """Once per fit: W-side windows (u is pre-sorted), the per-sample-tile
-    W expansion window starts (v5 sample kernel), and the full i-side prep
-    (batch composition is fixed across epochs, `bpr.pyx:104`).
+    """Once per fit: W-side windows (u is pre-sorted), the per-chunk W
+    expansion window starts (v5/v6 kernels), the v6 per-block home-chunk
+    ranges, and the full i-side prep (batch composition is fixed across
+    epochs, `bpr.pyx:104`).
 
-    Returns ``(winw, wstart, si, rowsi, wini)``."""
+    Returns ``(winw, wstart, si, rowsi, wini, cs, cn, version)`` —
+    ``version`` is the data-dependent kernel version
+    (:func:`engine_version`) and MUST be passed to
+    :func:`packed_bpr_epoch` as ``kernel_v``."""
     S, B = u2.shape
     s = pk.num_slots(K)
-    nT = B // SAMPLE_TILE
-    winw = np.empty((S, 2, rw // wrows_w), np.int32)
-    wstart = np.empty((S, nT), np.int32)
+    version = engine_version(K, rw, wrows_w, u2=u2, tile=tile)
+    stride = tile if version == 6 else SAMPLE_TILE
+    margin = CROWS if version == 6 else min(WROWS_A, rw)
+    nT = B // stride if version >= 5 else 1
+    nb = rw // wrows_w
+    winw = np.empty((S, 2, nb), np.int32)
+    wstart = np.zeros((S, nT), np.int32)
+    cs = np.zeros((S, nb), np.int32)
+    cn = np.zeros((S, nb), np.int32)
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
         winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
-        # a SAMPLE_TILE tile of u-sorted samples spans < WROWS_A packed
-        # rows, so each tile's expansion window starts at its first row
-        wstart[t] = np.clip(pu[::SAMPLE_TILE], 0,
-                            max(rw - WROWS_A, 0)).astype(np.int32)
+        if version >= 5:
+            # each chunk's expansion window starts at its first row
+            # (spans proven to fit by the engine_version gate)
+            wstart[t] = np.clip(pu[::stride], 0,
+                                max(rw - margin, 0)).astype(np.int32)
+        if version == 6:
+            cs[t], cn[t] = prep_blocks(wstart[t], rw, wrows_w)
     si, rowsi, wini = _sorted_side(i2, rh, wrows_h, tile)
-    return winw, wstart, si, rowsi, wini
+    return winw, wstart, si, rowsi, wini, cs, cn, version
 
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,

@@ -7,12 +7,13 @@ forces the stage's outputs to stay live, timed with a true value-fetch
 barrier (`jax.device_get` — `block_until_ready` does not synchronize
 through the axon relay, CLAUDE.md).
 
-Stages (cumulative):
+Stages (cumulative, v6 pipeline — set CYMF_TPU_PACKED_V6=0 for v5):
   1 gathers      Hp[i] + decorated Hp[j] (the two remaining XLA gathers)
-  2 sample       + fused v5 sample kernel (W window DMA + one-hot
-                 expansion + score/loss/placement)
+  2 sample       + the fused kernel (v6: sample phase AND W-side
+                 accumulation in one kernel; v5: sample kernel only)
   3 reorder      + Q[si], Q[sj] sort-permutation gathers
-  4 accum        + sorted_accum (W) + sorted_accum_dual (H)
+  4 accum        + remaining sorted accumulation (v6: the H-side dual
+                 kernel; v5: W single + H dual kernels)
   5 optimizer    + packed Adam passes == the full step
 
 Usage:  timeout 1800 python scripts/ablate_packed.py [steps]
@@ -33,8 +34,11 @@ def main():
 
     from cymf_tpu.dataset.synthetic import bench_interactions
     from cymf_tpu.ops import packed as pk
-    from cymf_tpu.ops.fused_sample import bpr_sample_phase_v5, decorate
-    from cymf_tpu.ops.packed_epoch import (_fold_rows, make_packed_optimizer,
+    from cymf_tpu.ops.fused_sample import (bpr_sample_phase,
+                                           bpr_sample_phase_v5, decorate)
+    from cymf_tpu.ops.fused_step import bpr_block_step_v6
+    from cymf_tpu.ops.packed_epoch import (_fold_rows,
+                                           make_packed_optimizer,
                                            packed_bpr_epoch, prep_epoch,
                                            prep_static)
     from cymf_tpu.ops.sorted_accum import sorted_accum, sorted_accum_dual
@@ -57,8 +61,8 @@ def main():
 
     rw = pk.packed_rows(U, K, multiple=wrows_w)
     rh = pk.logical_rows(I, multiple=wrows_h)
-    winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
-                                                wrows_w, wrows_h)
+    winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
+        u2, i2, K, rw, rh, wrows_w, wrows_h)
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
@@ -72,7 +76,7 @@ def main():
     ow, oh = opt.init(Wp), opt.init(Hp)
     xs = tuple(jnp.asarray(x) for x in
                (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw,
-                wstart))
+                wstart, bcs, bcn))
     s = pk.num_slots(K)
 
     def stage_scan(body):
@@ -89,37 +93,51 @@ def main():
         Dj = decorate(Hp[j], u % s, mf, K)
         return jnp.sum(Hp[i][0]) + jnp.sum(Dj[0])
 
+    def sample_outs(x):
+        """(Aw_or_None, SW_or_None, Q, loss_scalar) for the active
+        pipeline."""
+        u, i, _, _, _, j, mf, _, _, _, _, wst, cs_t, cn_t = x
+        if kernel_v == 6:
+            Dj = decorate(Hp[j], u % s, mf, K)
+            Aw, Q = bpr_block_step_v6(
+                Wp, _fold_rows(u // s), Hp[i], Dj, wst, cs_t, cn_t,
+                K=K, wd=0.01, rw=rw, wrows=wrows_w, interpret=interpret)
+            return Aw, None, Q, jnp.sum(Aw[0])
+        if kernel_v == 5:
+            Dj = decorate(Hp[j], u % s, mf, K)
+            SW, Q, lossp = bpr_sample_phase_v5(
+                Wp, wst, _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
+                interpret=interpret)
+            return None, SW, Q, lossp[0, 0]
+        Du = decorate(Wp.at[u // s].get(indices_are_sorted=True,
+                                        mode="promise_in_bounds"),
+                      u % s, mf, K)
+        SW, Q, lossp = bpr_sample_phase(Du, Hp[i], Hp[j], K=K, wd=0.01,
+                                        interpret=interpret)
+        return None, SW, Q, lossp[0, 0]
+
     def g_sample(x):
-        u, i, _, _, _, j, mf, *_ = x
-        Dj = decorate(Hp[j], u % s, mf, K)
-        SW, Q, lossp = bpr_sample_phase_v5(
-            Wp, x[11], _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
-            interpret=interpret)
-        return jnp.sum(SW[0]) + jnp.sum(Q[0]) + lossp[0, 0]
+        Aw, SW, Q, l0 = sample_outs(x)
+        return jnp.sum(Q[0]) + l0 + (0. if SW is None else jnp.sum(SW[0]))
 
     def g_reorder(x):
-        u, i, sip, _, _, j, mf, sjp, *_ = x
-        Dj = decorate(Hp[j], u % s, mf, K)
-        SW, Q, lossp = bpr_sample_phase_v5(
-            Wp, x[11], _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
-            interpret=interpret)
-        return (jnp.sum(SW[0]) + jnp.sum(Q[sip][0]) + jnp.sum(Q[sjp][0])
-                + lossp[0, 0])
+        sip, sjp = x[2], x[7]
+        Aw, SW, Q, l0 = sample_outs(x)
+        return (jnp.sum(Q[sip][0]) + jnp.sum(Q[sjp][0]) + l0
+                + (0. if SW is None else jnp.sum(SW[0])))
 
     def g_accum(x):
-        u, i, sip, rowsi_t, wi, j, mf, sjp, rowsj_t, wj, ww, wst = x
-        Dj = decorate(Hp[j], u % s, mf, K)
-        SW, Q, lossp = bpr_sample_phase_v5(
-            Wp, wst, _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
-            interpret=interpret)
-        Aw = sorted_accum(_fold_rows(u // s), SW, ww[0], ww[1], r_pad=rw,
-                          wrows=wrows_w, tile=TILE, interpret=interpret,
-                          precision="split")
+        u, i, sip, rowsi_t, wi, j, mf, sjp, rowsj_t, wj, ww, *_ = x
+        Aw, SW, Q, l0 = sample_outs(x)
+        if kernel_v != 6:
+            Aw = sorted_accum(_fold_rows(u // s), SW, ww[0], ww[1],
+                              r_pad=rw, wrows=wrows_w, tile=TILE,
+                              interpret=interpret, precision="split")
         D = sorted_accum_dual(
             rowsi_t, Q[sip], wi[0], wi[1], rowsj_t, Q[sjp], wj[0], wj[1],
             r_pad=rh, neg_lanes=K, wrows=wrows_h, tile=TILE,
             interpret=interpret, precision="split")
-        return jnp.sum(Aw[0]) + jnp.sum(D[0]) + lossp[0, 0]
+        return jnp.sum(Aw[0]) + jnp.sum(D[0]) + l0
 
     def time_run(name, run):
         out = run()
@@ -131,7 +149,7 @@ def main():
         print(f"{name:12s} {dt * 1e3:7.3f} ms/step", flush=True)
         return dt
 
-    print(f"S={S} B={B} d={K} rw={rw} rh={rh} "
+    print(f"S={S} B={B} d={K} rw={rw} rh={rh} engine=v{kernel_v} "
           f"backend={jax.default_backend()}", flush=True)
     time_run("gathers", stage_scan(g_gather))
     time_run("sample", stage_scan(g_sample))
@@ -146,7 +164,8 @@ def main():
         state[0], state[1], state[2], state[3], loss = packed_bpr_epoch(
             state[0], state[1], state[2], state[3], *xs, n_valid,
             opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
-            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+            rh=rh, wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret,
+            kernel_v=kernel_v)
         return loss
 
     full()

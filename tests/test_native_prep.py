@@ -71,8 +71,8 @@ def test_prep_static_invariants():
     from cymf_tpu.ops.packed_epoch import prep_static
     s, rh, u2, i2, pos_keys = _inputs()
     rw = pk.packed_rows(U, K, 128)
-    winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh, 128,
-                                                128)
+    winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
+        u2, i2, K, rw, rh, 128, 128)
     for t in range(S):
         perm = si[t]
         assert np.array_equal(np.sort(perm), np.arange(B))

@@ -93,30 +93,43 @@ class TestSortedAccum:
         counts_per_row = np.bincount(rows, minlength=R)
         np.testing.assert_allclose(out[:, 0], counts_per_row)
 
-    @pytest.mark.parametrize("precision,rtol,atol",
-                             [("highest", 2e-4, 2e-5),
-                              ("split", 8e-4, 8e-5)])
-    def test_packed_epoch_matches_dense_reference(self, precision, rtol,
-                                                  atol):
+    @pytest.mark.parametrize("U,wrows,want_v,precision,rtol,atol", [
+        # engine_version is DATA-dependent: U=300/wrows=128 -> rw=128 <
+        # CROWS but spans fit the whole-table window -> v5; U=1200 dense
+        # -> all chunk spans fit 264 rows -> the v6 fused block kernel;
+        # U=12000 SPARSE (1024 samples over 2000 packed rows) -> chunk
+        # spans overrun any expansion window -> the v4 gather fallback
+        # (a sparse batch run through v5/v6 would silently train on
+        # zero W rows — the gate is the regression test here)
+        (300, 128, 5, "highest", 2e-4, 2e-5),
+        (300, 128, 5, "split", 8e-4, 8e-5),
+        (1200, 512, 6, "highest", 2e-4, 2e-5),
+        (1200, 512, 6, "split", 8e-4, 8e-5),
+        (12000, 512, 4, "split", 8e-4, 8e-5),
+    ])
+    def test_packed_epoch_matches_dense_reference(self, U, wrows, want_v,
+                                                  precision, rtol, atol):
         """packed_bpr_epoch == an unpacked gather/scatter/sparse-Adam
         replica on identical (u, i, j, mask) streams."""
         from cymf_tpu.ops import packed as pk
-        from cymf_tpu.ops.packed_epoch import (packed_bpr_epoch, prep_epoch,
+        from cymf_tpu.ops.packed_epoch import (engine_version,
+                                               packed_bpr_epoch, prep_epoch,
                                                prep_static, unpack_device)
 
         rng = np.random.default_rng(3)
-        U, I, K, B, S = 300, 200, 20, 1024, 2  # B must be a TILE multiple
+        I, K, B, S = 200, 20, 1024, 2  # B must be a TILE multiple
         lr, wd = 0.02, 0.01
         W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
         H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
         u2 = np.sort(rng.integers(0, U, (S, B)).astype(np.int32), axis=1)
         i2 = rng.integers(0, I, (S, B)).astype(np.int32)
 
-        wrows = 128
         rw = pk.packed_rows(U, K, multiple=wrows)
         rh = pk.logical_rows(I, multiple=wrows)
-        winw, wstart, si, rowsi, wini = prep_static(u2, i2, K, rw, rh,
-                                                    wrows, wrows)
+        assert engine_version(K, rw, wrows, u2=u2) == want_v
+        winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
+            u2, i2, K, rw, rh, wrows, wrows)
+        assert kernel_v == want_v
         pos_keys = np.sort(
             u2.ravel().astype(np.int64) * I + i2.ravel())
         j2, mask, sj, rowsj, winj = prep_epoch(
@@ -132,9 +145,10 @@ class TestSortedAccum:
             jnp.asarray(rowsi), jnp.asarray(wini), jnp.asarray(j2),
             jnp.asarray(mask), jnp.asarray(sj), jnp.asarray(rowsj),
             jnp.asarray(winj), jnp.asarray(winw), jnp.asarray(wstart),
+            jnp.asarray(bcs), jnp.asarray(bcn),
             jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
             K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
-            interpret=True, precision=precision)
+            interpret=True, precision=precision, kernel_v=kernel_v)
         W_got = np.asarray(unpack_device(Wp2, K))[:U]
         H_got = np.asarray(Hp2[:I, :K])
 
