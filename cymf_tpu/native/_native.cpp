@@ -206,13 +206,22 @@ static PyObject* bpr_prep_epoch_v2(PyObject*, PyObject* args) {
       std::fill(counts.begin(), counts.end(), 0);
       for (int64_t b = 0; b < B; ++b) ++counts[j[b] / slots + 1];
       for (int64_t r = 0; r < rh; ++r) counts[r + 1] += counts[r];
-      // window ranges from the prefix sums (tile-aligned starts)
+      // window ranges from the prefix sums (128-aligned starts — the
+      // lane-major fold granularity; windows whose chunk grid would
+      // overrun B re-anchor so it ends exactly at B, mirroring
+      // cymf_tpu.ops.sorted_accum.window_ranges(align=128))
       int32_t* ws = winj + t * 2 * nw;
       for (int64_t w = 0; w < nw; ++w) {
         const int64_t lo = counts[w * wrows];
         const int64_t hi =
             (w + 1) * wrows <= rh ? counts[(w + 1) * wrows] : B;
-        const int64_t astart = (lo / tile) * tile;
+        int64_t astart = (lo / 128) * 128;
+        const int64_t nch = (hi - astart + tile - 1) / tile;
+        if (astart + nch * tile > B) {
+          int64_t need = (B - lo + tile - 1) / tile;
+          if (nch > need) need = nch;
+          astart = B - need * tile;
+        }
         ws[w] = static_cast<int32_t>(astart);
         ws[nw + w] = static_cast<int32_t>(hi - astart);
       }

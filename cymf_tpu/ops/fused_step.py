@@ -236,6 +236,201 @@ def _kernel(cs_ref, cn_ref, wstart_ref, rowsw, wp_hbm, hi_hbm, dj_hbm,
     jax.lax.fori_loop(0, pl.cdiv(nc, 2), body, 0)
 
 
+def supports_v7(K: int, rw: int, wrows: int = 512) -> bool:
+    """v7 (range-based fused sample+W-accumulation over a GATHERED Du
+    stream) is span-independent; it only needs the free loss lane and a
+    block-tileable table."""
+    s = pk.num_slots(K)
+    return s * (K + 1) <= LOSS_LANE and rw % wrows == 0
+
+
+def _kernel_v7(st_ref, ct_ref, rowsw, du_hbm, hi_hbm, dj_hbm,
+               aw_ref, q_hbm, du_s0, du_s1, hi_s0, hi_s1, dj_s0, dj_s1,
+               q_s, in_sems, q_sem, *, K, s, cb, wd, tile, wrows,
+               interpret):
+    """Range-based fused sample phase + W accumulation (one window per
+    grid step, samples assigned to windows by ROW VALUE — correct for
+    any user sparsity).  A chunk straddling a window boundary is
+    reprocessed by both windows: its Aw contribution is split exactly by
+    the one-hot (out-of-window rows match nothing, so the loss lane
+    counts every sample once), and its Q rows are written twice with
+    identical values (the sample math only reads the chunk's own
+    streams)."""
+    w = pl.program_id(0)
+    groups = tile // LANES
+    base = w * wrows
+
+    if interpret:
+        def roll(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def roll(x, shift):
+            return pltpu.roll(x, shift % LANES, axis=1)
+
+    du_slots = (du_s0, du_s1)
+    hi_slots = (hi_s0, hi_s1)
+    dj_slots = (dj_s0, dj_s1)
+
+    aw_ref[:] = jnp.zeros(aw_ref.shape, aw_ref.dtype)
+    start = st_ref[w]
+    count = ct_ref[w]
+    nc = pl.cdiv(count, tile)
+
+    def dma_in(c, slot):
+        off = start + c * tile
+        return (pltpu.make_async_copy(du_hbm.at[pl.ds(off, tile), :],
+                                      du_slots[slot], in_sems.at[0, slot]),
+                pltpu.make_async_copy(hi_hbm.at[pl.ds(off, tile), :],
+                                      hi_slots[slot], in_sems.at[1, slot]),
+                pltpu.make_async_copy(dj_hbm.at[pl.ds(off, tile), :],
+                                      dj_slots[slot], in_sems.at[2, slot]))
+
+    @pl.when(nc > 0)
+    def _():
+        for cp in dma_in(0, 0):
+            cp.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    paymask = (lane < K).astype(jnp.float32)
+    cmask = ((lane >= cb) & (lane < cb + s)).astype(jnp.float32)
+    qk = (lane == K).astype(jnp.float32)
+    lossk = (lane == LOSS_LANE).astype(jnp.float32)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
+
+    def process(c, slot):
+        off = start + c * tile
+        for cp in dma_in(c, slot):
+            cp.wait()
+        pr = rowsw[pl.ds(off // LANES, groups), :]
+        Du = du_slots[slot][...]
+        hi = hi_slots[slot][...]
+        hj = dj_slots[slot][...]
+
+        def compact(D):
+            acc = D[:, cb:cb + 1] * D
+            for c2 in range(1, s):
+                acc = acc + D[:, cb + c2:cb + c2 + 1] * roll(D, -c2 * K)
+            return acc * paymask
+
+        wu = compact(Du)
+        diff = hi - hj
+        x = jnp.sum(wu * diff, axis=1, keepdims=True)
+        sig = jax.nn.sigmoid(-x)
+        mcol = jnp.sum(Du * cmask, axis=1, keepdims=True)
+        l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1, keepdims=True)
+        loss = (-jax.nn.log_sigmoid(x) + wd * l2) * mcol
+
+        def placed(D, vals):
+            out = D * cmask + D[:, cb:cb + 1] * vals
+            for c2 in range(1, s):
+                out = out + D[:, cb + c2:cb + c2 + 1] * roll(vals, c2 * K)
+            return out
+
+        sw = placed(Du, sig * diff) + loss * lossk
+
+        q_s[:] = sig * wu + mcol * qk
+        q_copy = pltpu.make_async_copy(
+            q_s, q_hbm.at[pl.ds(off, tile), :], q_sem)
+        q_copy.start()
+
+        hot = jnp.concatenate(
+            [(pr[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)            # (wrows, tile)
+        shi = sw.astype(jnp.bfloat16)
+        slo = (sw - shi.astype(jnp.float32)).astype(jnp.bfloat16)
+        A = jax.lax.dot_general(
+            hot, shi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A = A + jax.lax.dot_general(
+            hot, slo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        aw_ref[:] += A
+        q_copy.wait()
+
+    def body(p, _):
+        c2 = p * 2
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            for cp in dma_in(c2 + 1, 1):
+                cp.start()
+
+        process(c2, 0)
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            @pl.when(c2 + 2 < nc)
+            def _():
+                for cp in dma_in(c2 + 2, 0):
+                    cp.start()
+
+            process(c2 + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(nc, 2), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "wd", "rw", "wrows",
+                                             "tile", "interpret"))
+def bpr_range_step_v7(rowsw, Du_dec, Hi, Dj, starts, counts, *, K: int,
+                      wd: float, rw: int, wrows: int = 512,
+                      tile: int = TILE, interpret: bool = False):
+    """Span-independent fused sample phase + W accumulation.
+
+    Args:
+      rowsw: int32[B/128, 128] lane-major folded per-sample packed rows
+        (padding sentinels >= rw).
+      Du_dec: (B, 128) gathered+decorated packed user rows (u-order).
+      Hi, Dj: (B, 128) gathered item / negative rows (u-order, raw).
+      starts/counts: int32[rw//wrows] tile-aligned per-window sample
+        ranges over the sorted rows (`window_ranges`), with the LAST
+        window's count extended to cover the padding tail so every
+        sample's Q row is written (mask-zeroed for padding).
+
+    Returns (Aw, Q) exactly as :func:`bpr_block_step_v6`.
+    """
+    B = Hi.shape[0]
+    if B % tile:
+        raise ValueError("B must be a multiple of tile")
+    s, cb = pk.num_slots(K), pk.count_base(K)
+    if not supports_v7(K, rw, wrows):
+        raise ValueError("v7 gate: need s*(K+1) <= 127 and "
+                         "rw % wrows == 0")
+    nw = rw // wrows
+    kern = functools.partial(
+        _kernel_v7, K=int(K), s=s, cb=cb, wd=float(wd), tile=tile,
+        wrows=wrows, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
+                  pl.BlockSpec(memory_space=pl.ANY),       # Du
+                  pl.BlockSpec(memory_space=pl.ANY),       # Hi
+                  pl.BlockSpec(memory_space=pl.ANY)],      # Dj
+        out_specs=[pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
+                                memory_space=pltpu.VMEM),  # Aw
+                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+        scratch_shapes=[
+            pltpu.VMEM((tile, LANES), jnp.float32),        # du slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # hi slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # dj slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # q slab
+            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        interpret=interpret,
+    )(starts, counts, rowsw, Du_dec, Hi, Dj)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "wd", "rw", "wrows",
                                              "tile", "interpret"))
 def bpr_block_step_v6(Wp, rowsw, Hi, Dj_dec, wstart, cs, cn, *, K: int,

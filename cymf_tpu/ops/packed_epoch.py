@@ -61,8 +61,9 @@ import numpy as np
 from . import packed as pk
 from .fused_sample import (TILE as SAMPLE_TILE, WROWS_A, bpr_sample_phase,
                            bpr_sample_phase_v5, decorate)
-from .fused_step import (CROWS, LOSS_LANE, bpr_block_step_v6, prep_blocks,
-                         supports_v6)
+from .fused_step import (CROWS, LOSS_LANE, bpr_block_step_v6,
+                         bpr_range_step_v7, prep_blocks, supports_v6,
+                         supports_v7)
 from .sorted_accum import sorted_accum, sorted_accum_dual, window_ranges
 
 TILE = 1024
@@ -224,14 +225,25 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                 wd=weight_decay, interpret=interpret)
             loss_step = lossp[0, 0]
         else:
-            Du = decorate(Wp.at[phys_u].get(indices_are_sorted=True,
-                                            mode="promise_in_bounds"),
-                          slot_u, mf, K)
-            SW, Q, lossp = bpr_sample_phase(
-                Du, Hp[i], Hp[j], K=K, wd=weight_decay, interpret=interpret)
-            loss_step = lossp[0, 0]
+            # clamp ONLY the gather index (padding sentinels are OOB by
+            # design — their rows stay >= rw so accumulation drops them;
+            # their gathered values are mask-zeroed in the kernel)
+            Du = decorate(Wp.at[jnp.minimum(phys_u, rw - 1)].get(
+                indices_are_sorted=True, mode="promise_in_bounds"),
+                slot_u, mf, K)
+            if kernel_v == 7:
+                Aw, Q = bpr_range_step_v7(
+                    _fold_rows(phys_u), Du, Hp[i], Hp[j], ww[0], ww[1],
+                    K=K, wd=weight_decay, rw=rw, wrows=wrows_w,
+                    interpret=interpret)
+                loss_step = jnp.sum(Aw[:, LOSS_LANE])
+            else:
+                SW, Q, lossp = bpr_sample_phase(
+                    Du, Hp[i], Hp[j], K=K, wd=weight_decay,
+                    interpret=interpret)
+                loss_step = lossp[0, 0]
 
-        if kernel_v != 6:
+        if kernel_v not in (6, 7):
             Aw = acc(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
                      wrows=wrows_w)
         gw, nw = pk.split_counts(Aw, K)
@@ -289,7 +301,8 @@ def _sorted_side(vals2, r_pad, wrows, tile):
         p = np.argsort(vals2[t], kind="stable").astype(np.int32)
         perm[t] = p
         srt = vals2[t][p]
-        win[t, 0], win[t, 1] = window_ranges(srt, r_pad, wrows, tile)
+        win[t, 0], win[t, 1] = window_ranges(srt, r_pad, wrows, tile,
+                                             align=128)
         rows[t] = srt.reshape(B // 128, 128)
     return perm, rows, win
 
@@ -322,18 +335,21 @@ def _spans_fit(pu2, stride: int, margin: int, rw: int) -> bool:
 def engine_version(K: int, rw: int, wrows_w: int, u2=None,
                    tile: int = TILE) -> int:
     """Which fused kernel pipeline the packed engine runs for THESE
-    batches: 6 (fully fused sample+W-accumulation block kernel), 5
-    (in-kernel W expansion sample kernel + separate accumulation), or 4
-    (XLA W gather + sample kernel + separate accumulation — correct for
-    any user sparsity).  ``u2`` is the [S, B] sorted user stream; without
-    it only the static gates apply (shape-only callers).  Env overrides:
-    ``CYMF_TPU_PACKED_KERNEL=4|5|6`` forces (6/5 still subject to
-    correctness gates), ``CYMF_TPU_PACKED_V6=0`` disables v6."""
+    batches: 6 (fully fused sample+W-accumulation block kernel — needs
+    chunk row spans to fit), 5 (in-kernel W expansion sample kernel +
+    separate accumulation — needs spans to fit), 7 (fused
+    sample+W-accumulation over a GATHERED Du stream — span-independent),
+    or 4 (XLA W gather + sample kernel + separate accumulation — the
+    always-available fallback).  ``u2`` is the [S, B] sorted user
+    stream; without it only the static gates apply (shape-only
+    callers).  Env overrides: ``CYMF_TPU_PACKED_KERNEL=4|5|6|7`` forces
+    (5/6/7 still subject to their correctness gates),
+    ``CYMF_TPU_PACKED_V6=0`` disables v6."""
     import os
     s = pk.num_slots(K)
     forced = os.environ.get("CYMF_TPU_PACKED_KERNEL", "")
     no_v6 = os.environ.get("CYMF_TPU_PACKED_V6", "").lower() in (
-        "0", "off", "false") or forced in ("4", "5")
+        "0", "off", "false") or forced in ("4", "5", "7")
     if forced == "4":
         return 4
     pu2 = None
@@ -344,9 +360,12 @@ def engine_version(K: int, rw: int, wrows_w: int, u2=None,
             pu2 is None or _spans_fit(pu2, tile, CROWS, rw)):
         return 6
     wrows_a = min(WROWS_A, rw)
-    if s >= 2 and wrows_a >= min(-(-SAMPLE_TILE // s) + 1, rw) and (
+    if forced != "7" and s >= 2 \
+            and wrows_a >= min(-(-SAMPLE_TILE // s) + 1, rw) and (
             pu2 is None or _spans_fit(pu2, SAMPLE_TILE, wrows_a, rw)):
         return 5
+    if forced != "4" and supports_v7(K, rw, wrows_w):
+        return 7
     return 4
 
 
@@ -366,7 +385,7 @@ def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
     version = engine_version(K, rw, wrows_w, u2=u2, tile=tile)
     stride = tile if version == 6 else SAMPLE_TILE
     margin = CROWS if version == 6 else min(WROWS_A, rw)
-    nT = B // stride if version >= 5 else 1
+    nT = B // stride if version in (5, 6) else 1
     nb = rw // wrows_w
     winw = np.empty((S, 2, nb), np.int32)
     wstart = np.zeros((S, nT), np.int32)
@@ -374,8 +393,17 @@ def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
     cn = np.zeros((S, nb), np.int32)
     for t in range(S):
         pu = np.minimum(u2[t].astype(np.int64) // s, np.iinfo(np.int32).max)
-        winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile)
-        if version >= 5:
+        winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile,
+                                               align=128)
+        if version == 7:
+            # the last window's range extends over the padding tail so
+            # every sample's Q row gets written (mask-zeroed for
+            # padding); re-anchor so its chunk grid ends exactly at B
+            st = int(winw[t, 0, nb - 1])
+            st2 = B - -(-(B - st) // tile) * tile
+            winw[t, 0, nb - 1] = st2
+            winw[t, 1, nb - 1] = B - st2
+        if version in (5, 6):
             # each chunk's expansion window starts at its first row
             # (spans proven to fit by the engine_version gate)
             wstart[t] = np.clip(pu[::stride], 0,

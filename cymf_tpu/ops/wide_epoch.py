@@ -138,6 +138,7 @@ def prep_static_wide(u2, i2, rw: int, rh: int, wrows: int,
     winw = np.empty((S, 2, rw // wrows), np.int32)
     for t in range(S):
         rowsu[t] = u2[t].reshape(B // LANES, LANES)
-        winw[t, 0], winw[t, 1] = window_ranges(u2[t], rw, wrows, tile)
+        winw[t, 0], winw[t, 1] = window_ranges(u2[t], rw, wrows, tile,
+                                               align=128)
     si, rowsi, wini = _sorted_side(i2, rh, wrows, tile)
     return rowsu, winw, si, rowsi, wini

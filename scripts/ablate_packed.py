@@ -36,7 +36,8 @@ def main():
     from cymf_tpu.ops import packed as pk
     from cymf_tpu.ops.fused_sample import (bpr_sample_phase,
                                            bpr_sample_phase_v5, decorate)
-    from cymf_tpu.ops.fused_step import bpr_block_step_v6
+    from cymf_tpu.ops.fused_step import (bpr_block_step_v6,
+                                         bpr_range_step_v7)
     from cymf_tpu.ops.packed_epoch import (_fold_rows,
                                            make_packed_optimizer,
                                            packed_bpr_epoch, prep_epoch,
@@ -109,9 +110,15 @@ def main():
                 Wp, wst, _fold_rows(u // s), Hp[i], Dj, K=K, wd=0.01,
                 interpret=interpret)
             return None, SW, Q, lossp[0, 0]
-        Du = decorate(Wp.at[u // s].get(indices_are_sorted=True,
-                                        mode="promise_in_bounds"),
-                      u % s, mf, K)
+        Du = decorate(Wp.at[jnp.minimum(u // s, rw - 1)].get(
+            indices_are_sorted=True, mode="promise_in_bounds"),
+            u % s, mf, K)
+        if kernel_v == 7:
+            ww = x[10]
+            Aw, Q = bpr_range_step_v7(
+                _fold_rows(u // s), Du, Hp[i], Hp[j], ww[0], ww[1],
+                K=K, wd=0.01, rw=rw, wrows=wrows_w, interpret=interpret)
+            return Aw, None, Q, jnp.sum(Aw[0])
         SW, Q, lossp = bpr_sample_phase(Du, Hp[i], Hp[j], K=K, wd=0.01,
                                         interpret=interpret)
         return None, SW, Q, lossp[0, 0]
@@ -129,7 +136,7 @@ def main():
     def g_accum(x):
         u, i, sip, rowsi_t, wi, j, mf, sjp, rowsj_t, wj, ww, *_ = x
         Aw, SW, Q, l0 = sample_outs(x)
-        if kernel_v != 6:
+        if kernel_v not in (6, 7):
             Aw = sorted_accum(_fold_rows(u // s), SW, ww[0], ww[1],
                               r_pad=rw, wrows=wrows_w, tile=TILE,
                               interpret=interpret, precision="split")

@@ -37,7 +37,7 @@ def _validate(out, u2, i2, pos_keys, s, rh):
         collide = pos_keys[idx] == keys
         expect = ((u2[t] < U) & ~collide).astype(np.float32)
         assert (mask[t] == expect).all()
-        st, ct = window_ranges(ph_sorted, rh, 128, 1024)
+        st, ct = window_ranges(ph_sorted, rh, 128, 1024, align=128)
         assert (winj[t, 0] == st).all() and (winj[t, 1] == ct).all()
 
 
@@ -79,10 +79,10 @@ def test_prep_static_invariants():
         ph_sorted = i2[t][perm]  # logical H: target row IS the item id
         assert (np.diff(ph_sorted) >= 0).all()
         assert (rowsi[t].ravel() == ph_sorted).all()
-        st, ct = window_ranges(ph_sorted, rh, 128, 1024)
+        st, ct = window_ranges(ph_sorted, rh, 128, 1024, align=128)
         assert (wini[t, 0] == st).all() and (wini[t, 1] == ct).all()
         pu = u2[t] // s
-        st, ct = window_ranges(pu, rw, 128, 1024)
+        st, ct = window_ranges(pu, rw, 128, 1024, align=128)
         assert (winw[t, 0] == st).all() and (winw[t, 1] == ct).all()
 
 

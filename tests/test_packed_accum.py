@@ -93,21 +93,24 @@ class TestSortedAccum:
         counts_per_row = np.bincount(rows, minlength=R)
         np.testing.assert_allclose(out[:, 0], counts_per_row)
 
-    @pytest.mark.parametrize("U,wrows,want_v,precision,rtol,atol", [
+    @pytest.mark.parametrize("U,K,wrows,want_v,precision,rtol,atol", [
         # engine_version is DATA-dependent: U=300/wrows=128 -> rw=128 <
         # CROWS but spans fit the whole-table window -> v5; U=1200 dense
         # -> all chunk spans fit 264 rows -> the v6 fused block kernel;
         # U=12000 SPARSE (1024 samples over 2000 packed rows) -> chunk
-        # spans overrun any expansion window -> the v4 gather fallback
-        # (a sparse batch run through v5/v6 would silently train on
-        # zero W rows — the gate is the regression test here)
-        (300, 128, 5, "highest", 2e-4, 2e-5),
-        (300, 128, 5, "split", 8e-4, 8e-5),
-        (1200, 512, 6, "highest", 2e-4, 2e-5),
-        (1200, 512, 6, "split", 8e-4, 8e-5),
-        (12000, 512, 4, "split", 8e-4, 8e-5),
+        # spans overrun any expansion window -> the span-independent
+        # fused v7 (a sparse batch run through v5/v6 would silently
+        # train on zero W rows — the gate is the regression test here);
+        # K=31 (s*(K+1)=128, no free loss lane) -> the v4 fallback.
+        (300, 20, 128, 5, "highest", 2e-4, 2e-5),
+        (300, 20, 128, 5, "split", 8e-4, 8e-5),
+        (1200, 20, 512, 6, "highest", 2e-4, 2e-5),
+        (1200, 20, 512, 6, "split", 8e-4, 8e-5),
+        (12000, 20, 512, 7, "highest", 2e-4, 2e-5),
+        (12000, 20, 512, 7, "split", 8e-4, 8e-5),
+        (12000, 31, 512, 4, "split", 8e-4, 8e-5),
     ])
-    def test_packed_epoch_matches_dense_reference(self, U, wrows, want_v,
+    def test_packed_epoch_matches_dense_reference(self, U, K, wrows, want_v,
                                                   precision, rtol, atol):
         """packed_bpr_epoch == an unpacked gather/scatter/sparse-Adam
         replica on identical (u, i, j, mask) streams."""
@@ -117,7 +120,7 @@ class TestSortedAccum:
                                                prep_static, unpack_device)
 
         rng = np.random.default_rng(3)
-        I, K, B, S = 200, 20, 1024, 2  # B must be a TILE multiple
+        I, B, S = 200, 1024, 2  # B must be a TILE multiple
         lr, wd = 0.02, 0.01
         W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
         H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
