@@ -268,6 +268,13 @@ def bench_wmf():
     return {"metric": "wmf_als_interactions_per_sec",
             "value": round(rate, 1),
             "unit": "interactions/s (per full user+item sweep)",
+            "normalization": (
+                "rate = nnz/epoch_time at ML-20M shapes; baseline "
+                "553,750 int/s = reference ~10 eps/s x ml-100k's 55,375 "
+                "interactions (BASELINE.md).  Interactions-normalized: "
+                "favors the reference if its rate degrades superlinearly "
+                "with scale (ALS work is O(nnz*K^2 + rows*K^3)), so the "
+                "ratio is a lower bound on the true speedup."),
             "vs_baseline": round(rate / 553_750.0, 2)}
 
 
