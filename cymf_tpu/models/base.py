@@ -183,10 +183,15 @@ class MFTrainerBase:
 
         When ``checkpoint_path`` is set, the live device state is written
         every ``checkpoint_every`` epochs (atomic npz; see
-        ``cymf_tpu.utils.checkpoint``) so a killed run can resume.
+        ``cymf_tpu.utils.checkpoint``) so a killed run can resume.  The
+        disk write runs on a background thread (only the device->host
+        snapshot blocks the loop); the writer is flushed before ``fit``
+        returns, so the file is complete when training is.
         """
+        from ..utils.checkpoint import AsyncCheckpointer
         from ..utils.profiling import Throughput
         stopper = EarlyStopper(self.early_stopping)
+        ckpt = AsyncCheckpointer() if checkpoint_path else None
         valid_dcg = None
         thr = Throughput()
         samples_per_epoch = getattr(self, "_samples_per_epoch", 0)
@@ -196,9 +201,8 @@ class MFTrainerBase:
             for epoch in range(start_epoch, num_epochs):
                 epoch_fn(epoch)
                 thr.tick(samples_per_epoch)
-                if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
-                    from ..utils.checkpoint import save_checkpoint
-                    save_checkpoint(checkpoint_path, self._state, epoch)
+                if ckpt and (epoch + 1) % checkpoint_every == 0:
+                    ckpt.save(checkpoint_path, self._state, epoch)
                 if self.valid_evaluator:
                     valid_dcg = self.valid_evaluator.evaluate(
                         self.W, self.H)["DCG@5"]
@@ -214,6 +218,8 @@ class MFTrainerBase:
                     + rate
                     + (desc_extra_fn() if desc_extra_fn else ""))
                 progress.update(1)
+        if ckpt:
+            ckpt.wait()
         if self.valid_evaluator and self.early_stopping \
                 and stopper.best_snapshot is not None:
             restore_fn(stopper.best_snapshot)

@@ -312,6 +312,8 @@ class GloVe:
             start_epoch = last_epoch + 1
 
         loss = None
+        from ..utils.checkpoint import AsyncCheckpointer
+        ckpt = AsyncCheckpointer() if checkpoint_path else None
         with tqdm(total=num_epochs, leave=True, ncols=100,
                   initial=start_epoch, disable=not verbose) as progress:
             for it in range(start_epoch, num_epochs):
@@ -322,11 +324,12 @@ class GloVe:
                     f"ITER={it + 1:{len(str(num_epochs))}}, "
                     f"LOSS: {float(jax.device_get(loss)):.4f}")
                 progress.update(1)
-                if checkpoint_path and (it + 1) % checkpoint_every == 0:
-                    from ..utils.checkpoint import save_checkpoint
+                if ckpt and (it + 1) % checkpoint_every == 0:
                     state = {"Wc": Wc, "Wx": Wx, "bc": bc, "bx": bx,
                              "ow": ow, "oh": oh, "abc": abc, "abx": abx}
-                    save_checkpoint(checkpoint_path, state, it)
+                    ckpt.save(checkpoint_path, state, it)
+        if ckpt:
+            ckpt.wait()
 
         self.last_loss = float(jax.device_get(loss)) if loss is not None \
             else None

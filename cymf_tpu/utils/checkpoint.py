@@ -10,12 +10,19 @@ npz is deliberate: single-host-readable, no orbax async machinery needed at
 these table sizes (the largest supported config, ML-20M d=256, is ~140 MB
 per table).  The format is a plain dict of arrays with ``/``-joined pytree
 paths, so it round-trips through numpy alone.
+
+:class:`AsyncCheckpointer` overlaps the disk write with training: the
+device->host fetch happens synchronously (the consistency point — the
+snapshot is of THIS epoch's state), then serialization + atomic rename run
+on a background thread while the next epochs proceed.  Trainers use it by
+default; ``wait()`` flushes at fit end.
 """
 
 from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from typing import Any, Dict, Tuple
 
 import jax
@@ -41,6 +48,10 @@ def save_checkpoint(path: str, state: Any, epoch: int,
     flat[_EPOCH_KEY] = np.asarray(epoch, np.int64)
     for k, v in (meta or {}).items():
         flat[_META_PREFIX + k] = np.asarray(v)
+    _write_atomic(path, flat)
+
+
+def _write_atomic(path: str, flat: Dict[str, np.ndarray]) -> None:
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -51,6 +62,51 @@ def save_checkpoint(path: str, state: Any, epoch: int,
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer.
+
+    ``save()`` blocks only for the device->host fetch (consistency) and
+    for any still-running previous write (so at most one write is in
+    flight and the atomic-rename ordering matches the save order); the
+    npz serialization and rename run on a daemon thread.  Call
+    ``wait()`` before reading the file or returning from ``fit``.
+    Exceptions from the background write re-raise on the next
+    ``save()``/``wait()``.
+    """
+
+    def __init__(self) -> None:
+        self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
+
+    def _join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def save(self, path: str, state: Any, epoch: int,
+             meta: Dict[str, Any] | None = None) -> None:
+        self._join()
+        flat = {k: np.asarray(v) for k, v in _flatten(state).items()}
+        flat[_EPOCH_KEY] = np.asarray(epoch, np.int64)
+        for k, v in (meta or {}).items():
+            flat[_META_PREFIX + k] = np.asarray(v)
+
+        def run() -> None:
+            try:
+                _write_atomic(path, flat)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        self._join()
 
 
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, int, Dict[str, Any]]:

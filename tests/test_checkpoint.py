@@ -31,6 +31,37 @@ def test_load_missing_leaf_raises(tmp_path):
         load_checkpoint(p, {"a": jnp.zeros(2), "b": jnp.zeros(3)})
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    """AsyncCheckpointer.save + wait yields a file byte-equivalent in
+    content to the sync writer; the snapshot is of save-time state even
+    if the caller mutates afterwards; write errors surface on wait()."""
+    from cymf_tpu.utils.checkpoint import AsyncCheckpointer
+
+    state = {"W": jnp.arange(12.0).reshape(3, 4),
+             "opt": {"m": jnp.ones((3, 4))}}
+    pa = str(tmp_path / "async.npz")
+    ps = str(tmp_path / "sync.npz")
+    ck = AsyncCheckpointer()
+    ck.save(pa, state, epoch=3, meta={"lr": 0.5})
+    # mutate the live dict AFTER save: the snapshot must not see it
+    state["W"] = state["W"] + 100.0
+    ck.wait()
+    save_checkpoint(ps, {"W": jnp.arange(12.0).reshape(3, 4),
+                         "opt": {"m": jnp.ones((3, 4))}}, epoch=3,
+                    meta={"lr": 0.5})
+    la, ea, ma = load_checkpoint(pa, state)
+    ls, es, ms = load_checkpoint(ps, state)
+    assert ea == es == 3 and float(ma["lr"]) == float(ms["lr"]) == 0.5
+    np.testing.assert_array_equal(np.asarray(la["W"]), np.asarray(ls["W"]))
+    np.testing.assert_array_equal(np.asarray(la["opt"]["m"]),
+                                  np.asarray(ls["opt"]["m"]))
+
+    bad = AsyncCheckpointer()
+    bad.save("/proc/definitely/not/writable/x.npz", state, epoch=0)
+    with pytest.raises(OSError):
+        bad.wait()
+
+
 def test_bpr_resume_matches_uninterrupted(tmp_path):
     data = SyntheticImplicitDataset(num_user=80, num_item=50, rank=4,
                                     density=0.15, seed=4)
