@@ -14,8 +14,9 @@ reference, whose `sklearn.utils.shuffle` is likewise untimed outside the
 epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
-  BENCH_MODEL=bpr|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|glove|
-              evaluator|all
+  BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|
+              glove|evaluator|all
+  BENCH_POOL=P      pool size for bpr_pool (default 1024)
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
   BENCH_DIM=N       override embedding dim (default 20)
@@ -110,6 +111,77 @@ def bench_bpr_packed():
     ips = S * B / dt
     return {"metric": "bpr_interactions_per_sec", "value": round(ips, 1),
             "unit": "interactions/s", "vs_baseline": round(ips / 5.4e6, 2)}
+
+
+def bench_bpr_pool():
+    """Shared-negative-pool packed engine (BPR(neg_pool=P), opt-in) at
+    ML-20M shapes — the negative side served from a per-step VMEM pool
+    (BENCH_POOL, default 1024)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
+                                           packed_bpr_pool_epoch,
+                                           prep_pool_epoch,
+                                           prep_static_pool)
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = 138493, 26744
+    nnz = 1_000_000 if small else 20_000_263
+    K = int(os.environ.get("BENCH_DIM", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    B = -(-B // 1024) * 1024
+    P = int(os.environ.get("BENCH_POOL", "1024"))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    S = max(1, len(users) // B)
+    u2 = users[:S * B].reshape(S, B)
+    i2 = items[:S * B].reshape(S, B)
+    order = np.argsort(u2, axis=1, kind="stable")
+    u2 = np.take_along_axis(u2, order, axis=1)
+    i2 = np.take_along_axis(i2, order, axis=1)
+
+    wrows_w, wrows_h = 512, 512
+    rw = pk.packed_rows(U, K, multiple=wrows_w)
+    rh = pk.logical_rows(I, multiple=wrows_h)
+    winw, si, rowsi, wini = prep_static_pool(u2, i2, K, rw, rh, wrows_w,
+                                             wrows_h)
+    pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+    pool2, rjs, mask, _ = prep_pool_epoch(
+        np.random.default_rng(0), u2, pos_keys, U, I, P)
+
+    rng = np.random.default_rng(0)
+    Wp = jnp.asarray(pk.pack_array(
+        rng.uniform(-0.1, 0.1, (U, K)) / K, K, multiple=wrows_w))
+    Hp = jnp.asarray(pk.pack_logical(
+        rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows_h))
+    opt = make_packed_optimizer("adam", 0.001)
+    ow, oh = opt.init(Wp), opt.init(Hp)
+    args = [jnp.asarray(x) for x in
+            (u2, i2, si, rowsi, wini, pool2, rjs, mask, winw)]
+    n_valid = jnp.asarray(S * B, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    state = [Wp, Hp, ow, oh]
+
+    def run():
+        state[0], state[1], state[2], state[3], loss = \
+            packed_bpr_pool_epoch(
+                state[0], state[1], state[2], state[3], *args, n_valid,
+                opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
+                rh=rh, wrows_w=wrows_w, wrows_h=wrows_h,
+                interpret=interpret)
+        return loss
+
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    ips = S * B / dt
+    return {"metric": "bpr_pool_interactions_per_sec",
+            "value": round(ips, 1),
+            "unit": f"interactions/s (neg_pool={P})",
+            "vs_baseline": round(ips / 5.4e6, 2)}
 
 
 def bench_bpr_wide():
@@ -487,6 +559,7 @@ def bench_bpr_pallas():
 
 _MODES = {
     "bpr": bench_bpr_packed,
+    "bpr_pool": bench_bpr_pool,
     "bpr_wide": bench_bpr_wide,
     "bpr_xla": bench_bpr_xla,
     "bpr_pallas": bench_bpr_pallas,

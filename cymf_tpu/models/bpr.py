@@ -207,7 +207,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
     def __init__(self, num_components: int = 20, learning_rate: float = 0.001,
                  optimizer: str = "adam", weight_decay: float = 0.01,
                  batch_size: int = 1024, update_mode: str = "auto",
-                 engine: str = "xla", packed: str = "auto"):
+                 engine: str = "xla", packed: str = "auto",
+                 neg_pool: int = 0):
         """``engine``:
 
         * "xla" (default) — vectorized synchronous-minibatch epochs
@@ -219,6 +220,16 @@ class BPR(MFTrainerBase, PersistenceMixin):
           ml-100k-shaped data (v5e) vs the reference's 98.46 (README.md:66).
           Requires TPU and tables + optimizer state within the VMEM budget
           (small catalogs, e.g. ml-100k).
+
+        ``neg_pool`` (opt-in sampling variant, packed engine only): draw
+        each step's negatives from a shared pool of that many items
+        (lane-aligned, e.g. 1024) instead of one independent draw per
+        interaction (`bpr.pyx:165-167`).  Per-sample negatives remain
+        marginally uniform over the catalog, but a step's samples share
+        the pool — a documented semantic trade for replacing the
+        negative-side gather/reorder/accumulation passes with
+        VMEM-resident MXU ops (``ops/packed_epoch.py::
+        packed_bpr_pool_epoch``).  0 (default) = exact per-sample draws.
         """
         super().__init__(num_components)
         self.learning_rate = float(learning_rate)
@@ -236,6 +247,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
         self.packed = packed
         if packed == "on" and engine != "xla":
             raise ValueError("packed='on' requires engine='xla'")
+        self.neg_pool = int(neg_pool)
+        if self.neg_pool and (self.neg_pool < 128 or self.neg_pool % 128):
+            raise ValueError("neg_pool must be 0 or a positive multiple "
+                             "of 128")
+        if self.neg_pool and packed == "off":
+            raise ValueError("neg_pool requires the packed engine")
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
 
@@ -328,6 +345,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
         order = np.argsort(u2, axis=1, kind="stable")
         u2 = np.take_along_axis(u2, order, axis=1)
         i2 = np.take_along_axis(i2, order, axis=1)
+        if self.neg_pool and fused != "packed":
+            raise ValueError(
+                "neg_pool requires the packed engine (K <= 127 and a "
+                "single-device TPU run, or packed='on'); this fit "
+                f"selected {fused or 'the XLA batch engine'!r}")
         if fused == "packed":
             return self._fit_packed(X, u2, i2, num_epochs, verbose, seed,
                                     checkpoint_path, checkpoint_every,
@@ -461,10 +483,25 @@ class BPR(MFTrainerBase, PersistenceMixin):
         rh = pk.logical_rows(I, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
-            u2, i2, K, rw, rh, wrows_w, wrows_h)
-        # which fused pipeline ran (6/5/4 — data-dependent, see
-        # ops.packed_epoch.engine_version); for diagnostics/repro
+        if self.neg_pool:
+            from ..ops.fused_step import supports_v8
+            from ..ops.packed_epoch import prep_static_pool
+            if not supports_v8(K, rw, wrows_w, self.neg_pool):
+                raise ValueError(
+                    f"neg_pool={self.neg_pool} unsupported at "
+                    f"num_components={K}: needs s*(K+1) <= 127 and a "
+                    "lane-aligned pool")
+            winw, si, rowsi, wini = prep_static_pool(
+                u2, i2, K, rw, rh, wrows_w, wrows_h)
+            wstart = bcs = bcn = np.zeros((u2.shape[0], 1), np.int32)
+            kernel_v = 8
+            self.prep_backend_ = "numpy"  # pool prep has no native path
+        else:
+            winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = \
+                prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
+        # which fused pipeline ran (8/6/5/4 — data-dependent, see
+        # ops.packed_epoch.engine_version; 8 = shared-negative pool);
+        # for diagnostics/repro
         self.packed_kernel_ = kernel_v
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
@@ -532,6 +569,23 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         def epoch_fn(epoch):
             nonlocal Wp, Hp, ow, oh
+            if kernel_v == 8:
+                from ..ops.packed_epoch import (packed_bpr_pool_epoch,
+                                                prep_pool_epoch)
+                rng = np.random.default_rng((seed, epoch))
+                pool2, rjs, mask, _ = prep_pool_epoch(
+                    rng, u2, pos_keys, U, I, self.neg_pool)
+                Wp, Hp, ow, oh, self._last_loss_dev = \
+                    packed_bpr_pool_epoch(
+                        Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
+                        jnp.asarray(pool2), jnp.asarray(rjs),
+                        jnp.asarray(mask), winw_d, n_valid,
+                        opt_name=self.optimizer, lr=self.learning_rate,
+                        weight_decay=self.weight_decay, K=K, rw=rw,
+                        rh=rh, wrows_w=wrows_w, wrows_h=wrows_h,
+                        interpret=interpret)
+                publish()
+                return
             # the C++ prep (OpenMP counting-sort pipeline, ~20x numpy) is
             # used when built; both are deterministic per (seed, epoch)
             rng = np.random.default_rng((seed, epoch))

@@ -431,6 +431,246 @@ def bpr_range_step_v7(rowsw, Du_dec, Hi, Dj, starts, counts, *, K: int,
     )(starts, counts, rowsw, Du_dec, Hi, Dj)
 
 
+# ---------------------------------------------------------------------------
+# v8: shared-negative-pool variant of v7 (opt-in, BPR(neg_pool=P))
+# ---------------------------------------------------------------------------
+
+def supports_v8(K: int, rw: int, wrows: int = 512, P: int = 0) -> bool:
+    """v8 = v7's range-based fused step with the negative side served
+    from a per-step item POOL resident in VMEM.  Same structural gates as
+    v7 plus a lane-aligned pool size."""
+    return supports_v7(K, rw, wrows) and P >= LANES and P % LANES == 0
+
+
+def _kernel_v8(st_ref, ct_ref, rowsw, rjs, hpool, du_hbm, hi_hbm,
+               aw_ref, apool_ref, q_hbm, du_s0, du_s1, hi_s0, hi_s1,
+               q_s, in_sems, q_sem, *, K, s, cb, wd, tile, wrows,
+               interpret):
+    """v7's range kernel with the negative stream expanded IN-KERNEL
+    from a (P, 128) VMEM pool: ``hj[b] = Hpool[rj[b]]`` via a one-hot
+    MXU contraction (replacing the per-row issue-bound ``Hp[j]`` XLA
+    gather), and the pool-side gradient accumulated the same way
+    (``Apool += onehot @ Q`` — replacing the ``Q[sj]`` reorder gather
+    AND the j half of the dual sorted accumulation).  A straddle chunk
+    is processed by both neighbouring windows; its pool contribution is
+    counted once via the HOME predicate (a sample accumulates only in
+    the window that owns its packed W row)."""
+    w = pl.program_id(0)
+    groups = tile // LANES
+    base = w * wrows
+    P = hpool.shape[0]
+
+    if interpret:
+        def roll(x, shift):
+            return jnp.roll(x, shift, axis=1)
+    else:
+        def roll(x, shift):
+            return pltpu.roll(x, shift % LANES, axis=1)
+
+    du_slots = (du_s0, du_s1)
+    hi_slots = (hi_s0, hi_s1)
+
+    @pl.when(w == 0)
+    def _():
+        apool_ref[:] = jnp.zeros(apool_ref.shape, apool_ref.dtype)
+
+    aw_ref[:] = jnp.zeros(aw_ref.shape, aw_ref.dtype)
+    start = st_ref[w]
+    count = ct_ref[w]
+    nc = pl.cdiv(count, tile)
+
+    def dma_in(c, slot):
+        off = start + c * tile
+        return (pltpu.make_async_copy(du_hbm.at[pl.ds(off, tile), :],
+                                      du_slots[slot], in_sems.at[0, slot]),
+                pltpu.make_async_copy(hi_hbm.at[pl.ds(off, tile), :],
+                                      hi_slots[slot], in_sems.at[1, slot]))
+
+    @pl.when(nc > 0)
+    def _():
+        for cp in dma_in(0, 0):
+            cp.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    paymask = (lane < K).astype(jnp.float32)
+    cmask = ((lane >= cb) & (lane < cb + s)).astype(jnp.float32)
+    qk = (lane == K).astype(jnp.float32)
+    lossk = (lane == LOSS_LANE).astype(jnp.float32)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 0)
+    # pool bf16 hi+lo split once per window (P x 128 — negligible)
+    p32 = hpool[...]
+    phi = p32.astype(jnp.bfloat16)
+    plo = (p32 - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def process(c, slot):
+        off = start + c * tile
+        for cp in dma_in(c, slot):
+            cp.wait()
+        pr = rowsw[pl.ds(off // LANES, groups), :]
+        pj = rjs[pl.ds(off // LANES, groups), :]
+        Du = du_slots[slot][...]
+        hi = hi_slots[slot][...]
+
+        # --- pool expansion: hj[b] = Hpool[pj[b]], exact via hi+lo split
+        hot_p = jnp.concatenate(
+            [(pj[a:a + 1, :] == p_iota).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)             # (P, tile)
+        hj = jax.lax.dot_general(
+            hot_p, phi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hj = hj + jax.lax.dot_general(
+            hot_p, plo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (tile, 128)
+
+        def compact(D):
+            acc = D[:, cb:cb + 1] * D
+            for c2 in range(1, s):
+                acc = acc + D[:, cb + c2:cb + c2 + 1] * roll(D, -c2 * K)
+            return acc * paymask
+
+        wu = compact(Du)
+        diff = hi - hj
+        x = jnp.sum(wu * diff, axis=1, keepdims=True)
+        sig = jax.nn.sigmoid(-x)
+        mcol = jnp.sum(Du * cmask, axis=1, keepdims=True)
+        l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1, keepdims=True)
+        loss = (-jax.nn.log_sigmoid(x) + wd * l2) * mcol
+
+        def placed(D, vals):
+            out = D * cmask + D[:, cb:cb + 1] * vals
+            for c2 in range(1, s):
+                out = out + D[:, cb + c2:cb + c2 + 1] * roll(vals, c2 * K)
+            return out
+
+        sw = placed(Du, sig * diff) + loss * lossk
+
+        qv = sig * wu + mcol * qk
+        q_s[:] = qv
+        q_copy = pltpu.make_async_copy(
+            q_s, q_hbm.at[pl.ds(off, tile), :], q_sem)
+        q_copy.start()
+
+        # --- W accumulation (identical to v7)
+        hot = jnp.concatenate(
+            [(pr[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)             # (wrows, tile)
+        shi = sw.astype(jnp.bfloat16)
+        slo = (sw - shi.astype(jnp.float32)).astype(jnp.bfloat16)
+        A = jax.lax.dot_general(
+            hot, shi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A = A + jax.lax.dot_general(
+            hot, slo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        aw_ref[:] += A
+
+        # --- pool accumulation, home-masked (each sample counted once:
+        # only the window owning its packed W row accumulates it)
+        home = jnp.concatenate(
+            [((pr[a:a + 1, :] >= base)
+              & (pr[a:a + 1, :] < base + wrows)).astype(jnp.bfloat16)
+             for a in range(groups)], axis=1)             # (1, tile)
+        hot_h = hot_p * home
+        qhi = qv.astype(jnp.bfloat16)
+        qlo = (qv - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Ap = jax.lax.dot_general(
+            hot_h, qhi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Ap = Ap + jax.lax.dot_general(
+            hot_h, qlo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (P, 128)
+        apool_ref[:] += Ap
+        q_copy.wait()
+
+    def body(p, _):
+        c2 = p * 2
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            for cp in dma_in(c2 + 1, 1):
+                cp.start()
+
+        process(c2, 0)
+
+        @pl.when(c2 + 1 < nc)
+        def _():
+            @pl.when(c2 + 2 < nc)
+            def _():
+                for cp in dma_in(c2 + 2, 0):
+                    cp.start()
+
+            process(c2 + 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(nc, 2), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "wd", "rw", "wrows",
+                                             "tile", "interpret"))
+def bpr_pool_step_v8(rowsw, rjs, Du_dec, Hi, Hpool, starts, counts, *,
+                     K: int, wd: float, rw: int, wrows: int = 512,
+                     tile: int = TILE, interpret: bool = False):
+    """Shared-negative-pool fused step (see :func:`_kernel_v8`).
+
+    Args (beyond :func:`bpr_range_step_v7`'s):
+      rjs: int32[B/128, 128] lane-major folded per-sample POOL slots
+        (``j[b] = pool[rjs[b]]``).
+      Hpool: (P, 128) gathered pool rows ``Hp[pool]`` — fully
+        VMEM-resident (P*512B; P <= ~4096 stays tiny).
+
+    Returns:
+      Aw: (rw, 128) accumulated W-side stream, loss sum on lane 127.
+      Apool: (P, 128) accumulated pool-side H products (``sig*wu`` with
+        live counts at lane K) — scatter ``Hacc.at[pool].add(Apool)``
+        to land them, P rows instead of a B-row sorted stream.
+      Q: (B, 128) compact H-side product for the i-side accumulation.
+    """
+    B = Hi.shape[0]
+    if B % tile:
+        raise ValueError("B must be a multiple of tile")
+    s, cb = pk.num_slots(K), pk.count_base(K)
+    P = Hpool.shape[0]
+    if not supports_v8(K, rw, wrows, P):
+        raise ValueError("v8 gate: v7 gates plus P a positive multiple "
+                         "of 128")
+    nw = rw // wrows
+    kern = functools.partial(
+        _kernel_v8, K=int(K), s=s, cb=cb, wd=float(wd), tile=tile,
+        wrows=wrows, interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # rjs
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # Hpool
+                  pl.BlockSpec(memory_space=pl.ANY),       # Du
+                  pl.BlockSpec(memory_space=pl.ANY)],      # Hi
+        out_specs=[pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
+                                memory_space=pltpu.VMEM),  # Aw
+                   pl.BlockSpec((P, LANES), lambda w, *_: (0, 0),
+                                memory_space=pltpu.VMEM),  # Apool
+                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+        scratch_shapes=[
+            pltpu.VMEM((tile, LANES), jnp.float32),        # du slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # hi slabs
+            pltpu.VMEM((tile, LANES), jnp.float32),
+            pltpu.VMEM((tile, LANES), jnp.float32),        # q slab
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((P, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        interpret=interpret,
+    )(starts, counts, rowsw, rjs, Hpool, Du_dec, Hi)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "wd", "rw", "wrows",
                                              "tile", "interpret"))
 def bpr_block_step_v6(Wp, rowsw, Hi, Dj_dec, wstart, cs, cn, *, K: int,

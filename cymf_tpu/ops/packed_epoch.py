@@ -62,8 +62,8 @@ from . import packed as pk
 from .fused_sample import (TILE as SAMPLE_TILE, WROWS_A, bpr_sample_phase,
                            bpr_sample_phase_v5, decorate)
 from .fused_step import (CROWS, LOSS_LANE, bpr_block_step_v6,
-                         bpr_range_step_v7, prep_blocks, supports_v6,
-                         supports_v7)
+                         bpr_pool_step_v8, bpr_range_step_v7, prep_blocks,
+                         supports_v6, supports_v7, supports_v8)
 from .sorted_accum import sorted_accum, sorted_accum_dual, window_ranges
 
 TILE = 1024
@@ -272,6 +272,87 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
+                              "rh", "wrows_w", "wrows_h", "interpret",
+                              "precision"))
+def packed_bpr_pool_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
+                          rowsi_steps, wini, pool_steps, rj_steps,
+                          mask_steps, winw, n_valid, *,
+                          opt_name, lr, weight_decay, K, rw, rh,
+                          wrows_w=512, wrows_h=512, interpret=False,
+                          precision="split"):
+    """Shared-negative-pool epoch (opt-in, ``BPR(neg_pool=P)``).
+
+    Replaces the same reference Hogwild loop as :func:`packed_bpr_epoch`
+    (`/root/reference/cymf/bpr.pyx:162-169`) but draws each step's
+    negatives from a P-item pool: ``j[b] = pool[rj[b]]`` — per-sample
+    negatives stay marginally uniform over the catalog, but a step's
+    samples share P distinct candidate items.  What that buys on TPU
+    (docs/PERF.md): the negative-side table gather, the ``Q[sj]``
+    reorder gather, and the j half of the dual sorted accumulation —
+    three of the step's per-row issue-bound passes — become MXU one-hot
+    contractions against the VMEM-resident pool inside the v8 kernel,
+    plus ONE P-row gather and ONE P-row scatter per step.
+
+      pool_steps int32[S, P]   per-step pool item ids
+      rj_steps  int32[S, B/128, 128]  folded per-sample pool slots
+      mask_steps f32[S, B]     1 = live (in-data, pool draw no collision)
+
+    The i/W streams and the optimizer pass are identical to the exact
+    engine's.
+    """
+    opt = make_packed_optimizer(opt_name, lr)
+    wd = jnp.float32(weight_decay)
+    s = pk.num_slots(K)
+    cb = pk.count_base(K)
+    payb = jnp.arange(pk.LANES) < K
+    payf = payb.astype(jnp.float32)
+    sv_neg = jnp.where(payb, jnp.float32(-1), jnp.float32(1))[None, :]
+
+    def step(carry, xs):
+        Wp, Hp, ow, oh, loss_acc = carry
+        u, i, si, rowsi, wi, pool, rj, mf, ww = xs
+        phys_u, slot_u = u // s, u % s
+
+        Du = decorate(Wp.at[jnp.minimum(phys_u, rw - 1)].get(
+            indices_are_sorted=True, mode="promise_in_bounds"),
+            slot_u, mf, K)
+        Hpool = Hp[pool]
+        Aw, Apool, Q = bpr_pool_step_v8(
+            _fold_rows(phys_u), rj, Du, Hp[i], Hpool, ww[0], ww[1],
+            K=K, wd=weight_decay, rw=rw, wrows=wrows_w,
+            interpret=interpret)
+        loss_step = jnp.sum(Aw[:, LOSS_LANE])
+
+        gw, nw = pk.split_counts(Aw, K)
+        nwE = pk.expand_counts(nw, K)
+        gbw = _pad_lanes(-gw + wd * nwE * Wp[:, :cb])
+        mw = _pad_lanes(nwE > 0)
+        Wp, ow = opt.update(Wp, ow, gbw, mw, K)
+
+        # H side: i stream via sorted accumulation; pool stream lands
+        # with ONE P-row scatter-add.  D == sorted_accum_dual's Aj - Ai
+        # with counts summed.
+        Ai = sorted_accum(rowsi, Q[si], wi[0], wi[1], r_pad=rh,
+                          wrows=wrows_h, tile=TILE, interpret=interpret,
+                          precision=precision)
+        Aj = jnp.zeros((rh, pk.LANES), jnp.float32).at[pool].add(
+            Apool, mode="drop")
+        D = Aj + Ai * sv_neg
+        nh = D[:, K:K + 1]
+        gbh = (D + wd * nh * Hp) * payf
+        mh = (nh > 0) & payb
+        Hp, oh = opt.update(Hp, oh, gbh, mh, K)
+        return (Wp, Hp, ow, oh, loss_acc + loss_step), None
+
+    init = (Wp, Hp, ow, oh, jnp.zeros((), jnp.float32))
+    (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
+        step, init, (u_steps, i_steps, si_steps, rowsi_steps, wini,
+                     pool_steps, rj_steps, mask_steps, winw))
+    return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # host-side preparation
 # ---------------------------------------------------------------------------
@@ -412,6 +493,54 @@ def prep_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
             cs[t], cn[t] = prep_blocks(wstart[t], rw, wrows_w)
     si, rowsi, wini = _sorted_side(i2, rh, wrows_h, tile)
     return winw, wstart, si, rowsi, wini, cs, cn, version
+
+
+def prep_static_pool(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
+                     wrows_h: int, tile: int = TILE):
+    """:func:`prep_static` for the pool engine (v8): W-side windows with
+    the v7-style last-window re-anchor (every sample's Q row written,
+    padding mask-zeroed) plus the i-side prep.  No expansion-window /
+    home-block prep — v8 is span-independent."""
+    S, B = u2.shape
+    s = pk.num_slots(K)
+    nb = rw // wrows_w
+    winw = np.empty((S, 2, nb), np.int32)
+    for t in range(S):
+        pu = np.minimum(u2[t].astype(np.int64) // s,
+                        np.iinfo(np.int32).max)
+        winw[t, 0], winw[t, 1] = window_ranges(pu, rw, wrows_w, tile,
+                                               align=128)
+        st = int(winw[t, 0, nb - 1])
+        st2 = B - -(-(B - st) // tile) * tile
+        winw[t, 0, nb - 1] = st2
+        winw[t, 1, nb - 1] = B - st2
+    si, rowsi, wini = _sorted_side(i2, rh, wrows_h, tile)
+    return winw, si, rowsi, wini
+
+
+def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
+                    pos_keys: np.ndarray, num_users: int, num_items: int,
+                    P: int):
+    """Per-epoch pool prep: P pool items per step (uniform, with
+    replacement), per-sample pool slots, and the rejection mask — the
+    pool analogue of :func:`prep_epoch`'s draws (`bpr.pyx:165-167`).
+    j-side sort permutations do not exist in pool mode (the kernel
+    accumulates the pool side in-place), so epoch prep is draw +
+    searchsorted only."""
+    S, B = u2.shape
+    pool2 = rng.integers(0, num_items, (S, P)).astype(np.int32)
+    r2 = rng.integers(0, P, (S, B)).astype(np.int32)
+    j2 = pool2[np.arange(S)[:, None], r2]
+    u64 = u2.astype(np.int64)
+    in_data = u64 < num_users
+    keys = u64 * num_items + j2
+    idx = np.searchsorted(pos_keys, keys)
+    idx = np.minimum(idx, max(len(pos_keys) - 1, 0))
+    collide = (pos_keys[idx] == keys) if len(pos_keys) else \
+        np.zeros_like(keys, bool)
+    mask = (in_data & ~collide).astype(np.float32)
+    rjs = r2.reshape(S, B // 128, 128)
+    return pool2, rjs, mask, j2
 
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
