@@ -147,3 +147,52 @@ def test_recommend_sharded_matches_single_device():
     # score values may differ in the last ulp (different matmul shapes
     # compile to different reduction schedules); ranking must not
     np.testing.assert_allclose(s8, s1, rtol=1e-6)
+
+
+def test_bpr_medium_shape_nondivisible_1dev_vs_8dev():
+    """Medium-shape mesh run (thousands of rows, non-divisible by the
+    device count everywhere: users, items, and batch) — the tiny-shape
+    equality tests can't catch padding/donation bugs that only appear
+    when shard boundaries fall mid-table."""
+    d = SyntheticImplicitDataset(num_user=5003, num_item=2001, rank=6,
+                                 density=0.005, seed=21)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = BPR(num_components=12, learning_rate=0.02,
+                    batch_size=4096)
+            m.fit(d.train, num_epochs=3, verbose=False, seed=9)
+            return m.W.copy(), m.H.copy()
+
+    W1, H1 = run(jax.devices()[:1])
+    W8, H8 = run(jax.devices())
+    assert W1.shape == (5003, 12) and H1.shape == (2001, 12)
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+
+
+def test_evaluator_sharded_medium_nondivisible():
+    """Sharded evaluator at a user count that leaves a ragged last
+    shard (1003 users over 8 devices) with mixed user degrees."""
+    from scipy import sparse
+
+    from cymf_tpu.evaluation.evaluator import Evaluator
+
+    rng = np.random.default_rng(17)
+    U, I, K = 1003, 517, 8
+    X_test = sparse.random(U, I, density=0.02, random_state=4,
+                           format="csr", data_rvs=lambda n: np.ones(n))
+    X_train = sparse.random(U, I, density=0.05, random_state=5,
+                            format="csr", data_rvs=lambda n: np.ones(n))
+    W = rng.normal(size=(U, K))
+    H = np.zeros((I, K))  # all-ties: metrics independent of neg draws
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            ev = Evaluator(X_test, X_train, k=[1, 5], num_negatives=30)
+            return ev.evaluate(W, H, seed=2)
+
+    r1 = run(jax.devices()[:1])
+    r8 = run(jax.devices())
+    for key in r1:
+        np.testing.assert_allclose(r8[key], r1[key], rtol=1e-6, atol=1e-7)

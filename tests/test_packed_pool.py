@@ -115,6 +115,31 @@ def test_pool_fit_learns():
     assert dcg > 0.2, dcg
 
 
+def test_pool_resume_matches_uninterrupted(tmp_path):
+    """Pool-mode checkpoints share the packed schema, and the pool RNG
+    reseeds per (seed, epoch), so resume replays the exact stream."""
+    import cymf_tpu
+
+    d = SyntheticImplicitDataset(num_user=300, num_item=200, rank=4,
+                                 density=0.12, seed=5)
+    kw = dict(num_components=20, learning_rate=0.02, weight_decay=0.01,
+              packed="on", neg_pool=128)
+    p = str(tmp_path / "pool.npz")
+
+    m1 = cymf_tpu.BPR(**kw)
+    m1.fit(d.train, num_epochs=6, verbose=False, seed=7)
+
+    m2 = cymf_tpu.BPR(**kw)
+    m2.fit(d.train, num_epochs=3, verbose=False, seed=7,
+           checkpoint_path=p)
+    m3 = cymf_tpu.BPR(**kw)
+    m3.fit(d.train, num_epochs=6, verbose=False, seed=7,
+           checkpoint_path=p, resume=True)
+
+    np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(m3.H, m1.H, rtol=1e-4, atol=1e-6)
+
+
 def test_pool_gate_rejects_bad_sizes():
     from cymf_tpu.ops.fused_step import supports_v8
     assert supports_v8(20, 512, 512, 128)
