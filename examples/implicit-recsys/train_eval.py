@@ -16,7 +16,7 @@ MODELS = {
     "bpr": lambda a: cymf.BPR(
         num_components=a.num_components, learning_rate=a.learning_rate,
         weight_decay=a.weight_decay, batch_size=a.batch_size,
-        engine=a.engine),
+        engine=a.engine, neg_pool=a.neg_pool),
     "wmf": lambda a: cymf.WMF(
         num_components=a.num_components, weight_decay=a.weight_decay,
         weight=a.weight),
@@ -42,6 +42,10 @@ def main():
     p.add_argument("--clip_value", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--engine", default="xla", choices=("xla", "pallas"))
+    p.add_argument("--neg_pool", type=int, default=0,
+                   help="BPR only: draw each step's negatives from a "
+                        "shared pool of this many items (multiple of "
+                        "128; 0 = exact per-sample draws)")
     p.add_argument("--num_threads", type=int, default=8)
     p.add_argument("--unbiased_eval", action="store_true",
                    help="evaluate with the IPS (unbiased) metrics")
