@@ -240,11 +240,71 @@ static PyObject* bpr_prep_epoch_v2(PyObject*, PyObject* args) {
                        r_bytes, w_bytes);
 }
 
+static PyObject* pool_reject(PyObject*, PyObject* args) {
+  // mask[b] = 1 iff u[b] < U and (u[b], j[b]) not in pos_keys — the
+  // rejection half of pool-mode epoch prep
+  // (cymf_tpu.ops.packed_epoch.prep_pool_epoch).  Unlike
+  // bpr_prep_epoch_v2 this draws nothing: the numpy PCG64 stream stays
+  // the single source of randomness (portable across installs), only
+  // the 20M-lookup membership test moves to OpenMP binary search.
+  Py_buffer u_buf{}, j_buf{}, keys_buf{};
+  int64_t n, U, I;
+  if (!PyArg_ParseTuple(args, "y*y*y*LLL", &u_buf, &j_buf, &keys_buf,
+                        &n, &U, &I)) {
+    return nullptr;
+  }
+  BufferGuard ug{u_buf}, jg{j_buf}, kg{keys_buf};
+  if (n <= 0 || U <= 0 || I <= 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject: dimensions must be positive");
+    return nullptr;
+  }
+  if (u_buf.len != n * static_cast<int64_t>(sizeof(int32_t)) ||
+      j_buf.len != n * static_cast<int64_t>(sizeof(int32_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject: u/j buffer length != n int32");
+    return nullptr;
+  }
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject: pos_keys must be int64-sized");
+    return nullptr;
+  }
+  const int32_t* u = static_cast<const int32_t*>(u_buf.buf);
+  const int32_t* j = static_cast<const int32_t*>(j_buf.buf);
+  const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+
+  PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+  if (!m_bytes) return nullptr;
+  float* mask = reinterpret_cast<float*>(PyBytes_AS_STRING(m_bytes));
+
+  Py_BEGIN_ALLOW_THREADS;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t b = 0; b < n; ++b) {
+    bool live = static_cast<int64_t>(u[b]) < U;
+    if (live && nkeys > 0) {
+      const int64_t key = static_cast<int64_t>(u[b]) * I + j[b];
+      const int64_t* lo =
+          std::lower_bound(pos_keys, pos_keys + nkeys, key);
+      if (lo != pos_keys + nkeys && *lo == key) live = false;
+    }
+    mask[b] = live ? 1.0f : 0.0f;
+  }
+  Py_END_ALLOW_THREADS;
+  return m_bytes;
+}
+
 static PyMethodDef kMethods[] = {
     {"cooccurrence", cooccurrence, METH_VARARGS,
      "Accumulate left-window 1/distance co-occurrence counts."},
     {"bpr_prep_epoch_v2", bpr_prep_epoch_v2, METH_VARARGS,
      "Per-epoch BPR host prep: draws, rejection, j-side sort + windows."},
+    {"pool_reject", pool_reject, METH_VARARGS,
+     "Pool-mode rejection mask: parallel sorted-key membership test."},
     {nullptr, nullptr, 0, nullptr},
 };
 

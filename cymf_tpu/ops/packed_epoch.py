@@ -531,6 +531,26 @@ def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
     pool2 = rng.integers(0, num_items, (S, P)).astype(np.int32)
     r2 = rng.integers(0, P, (S, B)).astype(np.int32)
     j2 = pool2[np.arange(S)[:, None], r2]
+    mask = _reject_mask(u2, j2, pos_keys, num_users, num_items)
+    rjs = r2.reshape(S, B // 128, 128)
+    return pool2, rjs, mask, j2
+
+
+def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int):
+    """``1.0`` where the sample is in-data and ``(u, j)`` is not a known
+    positive.  Uses the C++ OpenMP membership test when built (the
+    20M-lookup `searchsorted` is the pool prep's only hot loop) —
+    bit-identical to the numpy path, which stays the sole RNG source."""
+    import os
+    if os.environ.get("CYMF_TPU_PREP", "").lower() != "numpy":
+        from ..native import HAVE_NATIVE, _native
+        if HAVE_NATIVE and hasattr(_native, "pool_reject"):
+            u2c = np.ascontiguousarray(u2, np.int32)
+            j2c = np.ascontiguousarray(j2, np.int32)
+            keys = np.ascontiguousarray(pos_keys, np.int64)
+            mb = _native.pool_reject(u2c, j2c, keys, u2c.size,
+                                     num_users, num_items)
+            return np.frombuffer(mb, np.float32).reshape(u2.shape)
     u64 = u2.astype(np.int64)
     in_data = u64 < num_users
     keys = u64 * num_items + j2
@@ -538,9 +558,7 @@ def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
     idx = np.minimum(idx, max(len(pos_keys) - 1, 0))
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
-    mask = (in_data & ~collide).astype(np.float32)
-    rjs = r2.reshape(S, B // 128, 128)
-    return pool2, rjs, mask, j2
+    return (in_data & ~collide).astype(np.float32)
 
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,

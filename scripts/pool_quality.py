@@ -1,0 +1,58 @@
+"""Pool-mode quality study: DCG@5 of BPR(neg_pool=P) vs the exact
+per-sample-negative engine across pool sizes, on synthetic data.
+
+Shared-negative pools keep the marginal negative distribution uniform
+but correlate a step's draws; this script quantifies what that costs in
+ranking quality (answer recorded in docs/PERF.md).  CPU-runnable
+(kernels in interpret mode).
+
+Usage: timeout 1800 python scripts/pool_quality.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+import cymf_tpu  # noqa: E402
+from cymf_tpu.dataset import SyntheticImplicitDataset  # noqa: E402
+
+
+def main():
+    rows = []
+    for seed in (3, 7, 11):
+        d = SyntheticImplicitDataset(num_user=1200, num_item=600, rank=8,
+                                     density=0.05, seed=seed)
+        test = cymf_tpu.AoaEvaluator(d.test, d.train, metrics=["DCG"], k=5)
+        cfgs = [("exact", 0)] + [(f"P={p}", p)
+                                 for p in (128, 512, 1024, 2048)]
+        for name, P in cfgs:
+            m = cymf_tpu.BPR(num_components=20, learning_rate=0.01,
+                             weight_decay=0.01, packed="on", neg_pool=P,
+                             batch_size=4096)
+            m.fit(d.train, num_epochs=20, verbose=False, seed=seed)
+            dcg = test.evaluate(m.W, m.H)["DCG@5"]
+            rows.append((seed, name, dcg))
+            print(f"seed={seed} {name:8s} DCG@5={dcg:.4f}", flush=True)
+
+    print("\nmean over seeds:")
+    names = []
+    for _, name, _ in rows:
+        if name not in names:
+            names.append(name)
+    for name in names:
+        vals = [r[2] for r in rows if r[1] == name]
+        print(f"  {name:8s} {np.mean(vals):.4f} +- {np.std(vals):.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

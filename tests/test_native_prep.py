@@ -127,3 +127,50 @@ def test_native_prep_validates_inputs():
     with pytest.raises(ValueError):  # misaligned pos_keys bytes
         _native.bpr_prep_epoch_v2(u2c, keys.view(np.uint8)[:-4].copy(),
                                   S, B, U, I, 1, rh, 128, 1024, 1)
+
+
+def test_pool_reject_matches_numpy():
+    """Native pool_reject == the numpy rejection path bit-for-bit (the
+    numpy PCG64 stream stays pool mode's only RNG; the native helper
+    accelerates membership only)."""
+    import os
+
+    import numpy as np
+
+    from cymf_tpu.native import HAVE_NATIVE, _native
+    from cymf_tpu.ops.packed_epoch import _reject_mask
+
+    if not (HAVE_NATIVE and hasattr(_native, "pool_reject")):
+        import pytest
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(3)
+    S, B, U, I = 2, 1024, 200, 150
+    u2 = np.sort(rng.integers(0, U + 30, (S, B)).astype(np.int32), axis=1)
+    j2 = rng.integers(0, I, (S, B)).astype(np.int32)
+    pos_keys = np.unique(
+        rng.integers(0, U, 900).astype(np.int64) * I
+        + rng.integers(0, I, 900))
+
+    m_native = _reject_mask(u2, j2, pos_keys, U, I)
+    old = os.environ.get("CYMF_TPU_PREP")
+    os.environ["CYMF_TPU_PREP"] = "numpy"
+    try:
+        m_numpy = _reject_mask(u2, j2, pos_keys, U, I)
+    finally:
+        if old is None:
+            os.environ.pop("CYMF_TPU_PREP", None)
+        else:
+            os.environ["CYMF_TPU_PREP"] = old
+    np.testing.assert_array_equal(m_native, m_numpy)
+    assert 0 < m_native.mean() < 1  # rejections and padding both present
+
+    # empty key set: only the in-data predicate applies
+    m_empty = _reject_mask(u2, j2, np.empty(0, np.int64), U, I)
+    np.testing.assert_array_equal(m_empty, (u2 < U).astype(np.float32))
+
+    # malformed buffers raise instead of reading out of bounds
+    import pytest
+    with pytest.raises(ValueError):
+        _native.pool_reject(u2[:, :100].tobytes(), j2.tobytes(),
+                            pos_keys.tobytes(), u2.size, U, I)
