@@ -67,11 +67,55 @@ class SyntheticImplicitDataset(ImplicitFeedbackDataset):
 
 def bench_interactions(num_user: int, num_item: int, nnz: int,
                        seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """(users, items) interaction arrays with a power-law-ish user degree
-    distribution, ML-20M-shaped, for throughput benchmarks (no low-rank
-    structure needed to measure interactions/sec)."""
+    """(users, items) interaction arrays with an ML-20M-like user degree
+    profile, for throughput benchmarks (no low-rank structure needed to
+    measure interactions/sec).
+
+    Degrees follow a rank-frequency power law CAPPED at ~35% of the
+    catalog (real ML-20M's top user rated 9,254 of 26,744 movies); a
+    user's items are near-distinct (heavy users sample without
+    replacement), so rejection masks run at realistic (~0.5%) collision
+    rates.  The round-2 generator (``zipf(1.3) % num_user``) put 25% of
+    all interactions on ONE user with degree 5M >> catalog size — its
+    sorted streams had giant single-row runs and ~77% of negative draws
+    were rejection-masked, neither of which real data exhibits."""
     rng = np.random.default_rng(seed)
-    users = rng.zipf(1.3, size=nnz * 2) % num_user
-    users = users[:nnz].astype(np.int32)
-    items = rng.integers(0, num_item, size=nnz).astype(np.int32)
-    return users, items
+    ranks = np.arange(1, num_user + 1, dtype=np.float64)
+    w = ranks ** -0.8
+    cap = max(int(num_item * 0.35), 1)
+    deg = w * (nnz / w.sum())
+    # one redistribution pass: clip to the cap, hand the clipped mass to
+    # the uncapped tail, then trim/pad to exactly nnz
+    over = deg > cap
+    spare = (deg[over] - cap).sum()
+    deg[over] = cap
+    tail = ~over
+    deg[tail] += spare * (deg[tail] / max(deg[tail].sum(), 1e-9))
+    deg = np.minimum(np.round(deg), cap).astype(np.int64)
+    diff = nnz - int(deg.sum())
+    if diff:  # spread the rounding remainder over the largest rooms
+        room = cap - deg if diff > 0 else deg
+        idx = np.argsort(-room)[:abs(diff)]
+        deg[idx] += np.sign(diff)
+    users = np.repeat(np.arange(num_user, dtype=np.int32), deg)
+    items = np.empty(nnz, np.int32)
+    # near-distinct per-user items: permutation slices for heavy users,
+    # with-replacement draws elsewhere (dup rate < 4% at deg <= cap/4)
+    heavy = np.flatnonzero(deg > num_item // 4)
+    light_total = int(deg.sum() - deg[heavy].sum())
+    items_light = rng.integers(0, num_item, size=light_total,
+                               dtype=np.int32)
+    pos = 0
+    lpos = 0
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    hset = set(heavy.tolist())
+    for u in heavy:
+        d = int(deg[u])
+        items[starts[u]:starts[u] + d] = rng.permutation(
+            num_item).astype(np.int32)[:d]
+    mask = np.ones(nnz, bool)
+    for u in heavy:
+        mask[starts[u]:starts[u + 1]] = False
+    items[mask] = items_light
+    perm = rng.permutation(nnz)
+    return users[perm], items[perm]

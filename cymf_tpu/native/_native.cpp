@@ -298,6 +298,232 @@ static PyObject* pool_reject(PyObject*, PyObject* args) {
   return m_bytes;
 }
 
+static PyObject* pool_reject_v2(PyObject*, PyObject* args) {
+  // Rejection via per-user key ranges: ``indptr`` (int64[U+1]) bounds
+  // each user's contiguous slice of the sorted ``pos_keys`` (== the
+  // training CSR's indptr), so every membership test is an ~8-probe
+  // binary search over a cache-resident ~1KB slice instead of ~24
+  // DRAM-random probes over the full 20M-key array (measured 10x).
+  Py_buffer u_buf{}, j_buf{}, keys_buf{}, ptr_buf{};
+  int64_t n, U, I;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*LLL", &u_buf, &j_buf, &keys_buf,
+                        &ptr_buf, &n, &U, &I)) {
+    return nullptr;
+  }
+  BufferGuard ug{u_buf}, jg{j_buf}, kg{keys_buf}, pg{ptr_buf};
+  if (n <= 0 || U <= 0 || I <= 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v2: dimensions must be positive");
+    return nullptr;
+  }
+  if (u_buf.len != n * static_cast<int64_t>(sizeof(int32_t)) ||
+      j_buf.len != n * static_cast<int64_t>(sizeof(int32_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v2: u/j buffer length != n int32");
+    return nullptr;
+  }
+  if (ptr_buf.len != (U + 1) * static_cast<int64_t>(sizeof(int64_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v2: indptr length != (U+1) int64");
+    return nullptr;
+  }
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+  const int64_t* indptr = static_cast<const int64_t*>(ptr_buf.buf);
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0 ||
+      indptr[0] != 0 || indptr[U] != nkeys) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v2: indptr must span pos_keys exactly");
+    return nullptr;
+  }
+  const int32_t* u = static_cast<const int32_t*>(u_buf.buf);
+  const int32_t* j = static_cast<const int32_t*>(j_buf.buf);
+  const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
+
+  PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+  if (!m_bytes) return nullptr;
+  float* mask = reinterpret_cast<float*>(PyBytes_AS_STRING(m_bytes));
+
+  bool bad_range = false;
+  Py_BEGIN_ALLOW_THREADS;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(||: bad_range)
+#endif
+  for (int64_t b = 0; b < n; ++b) {
+    const int64_t ub = static_cast<int64_t>(u[b]);
+    bool live = ub < U;
+    if (live) {
+      const int64_t lo = indptr[ub], hi = indptr[ub + 1];
+      if (lo < 0 || hi < lo || hi > nkeys) {
+        bad_range = true;
+      } else {
+        const int64_t key = ub * I + j[b];
+        live = !std::binary_search(pos_keys + lo, pos_keys + hi, key);
+      }
+    }
+    mask[b] = live ? 1.0f : 0.0f;
+  }
+  Py_END_ALLOW_THREADS;
+  if (bad_range) {
+    Py_DECREF(m_bytes);
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v2: indptr not nondecreasing in range");
+    return nullptr;
+  }
+  return m_bytes;
+}
+
+static inline uint64_t splitmix64(uint64_t z) {
+  z += 0x9e3779b97f4a7c15ULL;
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+static PyObject* build_key_filter(PyObject*, PyObject* args) {
+  // One-bit-per-hash membership filter over the sorted positive keys.
+  // Built once per fit; lookups then cost ~1 DRAM miss (prefetchable)
+  // instead of a ~6-miss binary search, with exact fallback on set bits
+  // (see pool_reject_v3) — so results stay bit-identical to the numpy
+  // searchsorted path.
+  Py_buffer keys_buf{};
+  int64_t log2_bits;
+  if (!PyArg_ParseTuple(args, "y*L", &keys_buf, &log2_bits)) {
+    return nullptr;
+  }
+  BufferGuard kg{keys_buf};
+  if (log2_bits < 10 || log2_bits > 36 ||
+      keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "build_key_filter: log2_bits in [10, 36] and int64 "
+                    "keys required");
+    return nullptr;
+  }
+  const int64_t* keys = static_cast<const int64_t*>(keys_buf.buf);
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+  const int64_t nwords = (1LL << log2_bits) / 64;
+  PyObject* f_bytes = PyBytes_FromStringAndSize(nullptr, nwords * 8);
+  if (!f_bytes) return nullptr;
+  uint64_t* bits = reinterpret_cast<uint64_t*>(PyBytes_AS_STRING(f_bytes));
+  const int shift = 64 - static_cast<int>(log2_bits);
+
+  Py_BEGIN_ALLOW_THREADS;
+  std::fill(bits, bits + nwords, 0ULL);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t k = 0; k < nkeys; ++k) {
+    const uint64_t h =
+        splitmix64(static_cast<uint64_t>(keys[k])) >> shift;
+    __atomic_fetch_or(&bits[h >> 6], 1ULL << (h & 63), __ATOMIC_RELAXED);
+  }
+  Py_END_ALLOW_THREADS;
+  return f_bytes;
+}
+
+static PyObject* pool_reject_v3(PyObject*, PyObject* args) {
+  // Filter-accelerated rejection: test the 1-bit filter first
+  // (software-prefetched 64 lookups ahead — the whole pass streams at
+  // memory bandwidth instead of serial DRAM latency); only set bits
+  // (true positives ~0.5% + filter false positives) fall back to the
+  // exact per-user binary search, so the mask is bit-identical to the
+  // numpy searchsorted path.
+  Py_buffer u_buf{}, j_buf{}, keys_buf{}, ptr_buf{}, f_buf{};
+  int64_t n, U, I, log2_bits;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*LLLL", &u_buf, &j_buf,
+                        &keys_buf, &ptr_buf, &f_buf, &n, &U, &I,
+                        &log2_bits)) {
+    return nullptr;
+  }
+  BufferGuard ug{u_buf}, jg{j_buf}, kg{keys_buf}, pg{ptr_buf}, fg{f_buf};
+  if (n <= 0 || U <= 0 || I <= 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: dimensions must be positive");
+    return nullptr;
+  }
+  if (u_buf.len != n * static_cast<int64_t>(sizeof(int32_t)) ||
+      j_buf.len != n * static_cast<int64_t>(sizeof(int32_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: u/j buffer length != n int32");
+    return nullptr;
+  }
+  if (ptr_buf.len != (U + 1) * static_cast<int64_t>(sizeof(int64_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: indptr length != (U+1) int64");
+    return nullptr;
+  }
+  if (log2_bits < 10 || log2_bits > 36 ||
+      f_buf.len != (1LL << log2_bits) / 8) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: filter length != 2^log2_bits bits");
+    return nullptr;
+  }
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+  const int64_t* indptr = static_cast<const int64_t*>(ptr_buf.buf);
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0 ||
+      indptr[0] != 0 || indptr[U] != nkeys) {
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: indptr must span pos_keys exactly");
+    return nullptr;
+  }
+  const int32_t* u = static_cast<const int32_t*>(u_buf.buf);
+  const int32_t* j = static_cast<const int32_t*>(j_buf.buf);
+  const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
+  const uint64_t* bits = static_cast<const uint64_t*>(f_buf.buf);
+  const int shift = 64 - static_cast<int>(log2_bits);
+
+  PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+  if (!m_bytes) return nullptr;
+  float* mask = reinterpret_cast<float*>(PyBytes_AS_STRING(m_bytes));
+
+  bool bad_range = false;
+  Py_BEGIN_ALLOW_THREADS;
+  constexpr int64_t kAhead = 64;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(||: bad_range)
+#endif
+  for (int64_t blk = 0; blk < (n + 4095) / 4096; ++blk) {
+    const int64_t lo_b = blk * 4096;
+    const int64_t hi_b = std::min(lo_b + 4096, n);
+    for (int64_t b = lo_b; b < hi_b; ++b) {
+      if (b + kAhead < hi_b) {
+        const int64_t ua = static_cast<int64_t>(u[b + kAhead]);
+        if (ua < U) {
+          const uint64_t ha = splitmix64(
+              static_cast<uint64_t>(ua * I + j[b + kAhead])) >> shift;
+          __builtin_prefetch(&bits[ha >> 6], 0, 0);
+        }
+      }
+      const int64_t ub = static_cast<int64_t>(u[b]);
+      bool live = ub < U;
+      if (live) {
+        const int64_t key = ub * I + j[b];
+        const uint64_t h =
+            splitmix64(static_cast<uint64_t>(key)) >> shift;
+        if (bits[h >> 6] & (1ULL << (h & 63))) {
+          const int64_t lo = indptr[ub], hi = indptr[ub + 1];
+          if (lo < 0 || hi < lo || hi > nkeys) {
+            bad_range = true;
+          } else {
+            live = !std::binary_search(pos_keys + lo, pos_keys + hi, key);
+          }
+        }
+      }
+      mask[b] = live ? 1.0f : 0.0f;
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  if (bad_range) {
+    Py_DECREF(m_bytes);
+    PyErr_SetString(PyExc_ValueError,
+                    "pool_reject_v3: indptr not nondecreasing in range");
+    return nullptr;
+  }
+  return m_bytes;
+}
+
 static PyMethodDef kMethods[] = {
     {"cooccurrence", cooccurrence, METH_VARARGS,
      "Accumulate left-window 1/distance co-occurrence counts."},
@@ -305,6 +531,12 @@ static PyMethodDef kMethods[] = {
      "Per-epoch BPR host prep: draws, rejection, j-side sort + windows."},
     {"pool_reject", pool_reject, METH_VARARGS,
      "Pool-mode rejection mask: parallel sorted-key membership test."},
+    {"pool_reject_v2", pool_reject_v2, METH_VARARGS,
+     "Rejection mask via per-user indptr ranges (cache-resident)."},
+    {"build_key_filter", build_key_filter, METH_VARARGS,
+     "One-bit membership filter over sorted keys (built once per fit)."},
+    {"pool_reject_v3", pool_reject_v3, METH_VARARGS,
+     "Filter-accelerated rejection mask (prefetch + exact fallback)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -518,9 +518,29 @@ def prep_static_pool(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
     return winw, si, rowsi, wini
 
 
+def make_reject_filter(pos_keys, num_users: int, num_items: int):
+    """One-per-fit rejection acceleration state for :func:`_reject_mask`:
+    ``(keys, filter_bits, indptr, log2_bits)`` — a 1-bit hash filter over
+    the sorted positive keys (~16 bits/key) plus the per-user indptr for
+    the exact fallback.  ``None`` when the native extension is absent or
+    there are no keys (the numpy path then runs)."""
+    from ..native import HAVE_NATIVE, _native
+    if not (HAVE_NATIVE and hasattr(_native, "pool_reject_v3")) \
+            or len(pos_keys) == 0:
+        return None
+    keys = np.ascontiguousarray(pos_keys, np.int64)
+    log2_bits = int(np.clip(int(np.ceil(np.log2(len(keys) * 16))),
+                            10, 33))
+    filt = _native.build_key_filter(keys, log2_bits)
+    indptr = np.searchsorted(
+        keys, np.arange(num_users + 1, dtype=np.int64)
+        * num_items).astype(np.int64)
+    return keys, filt, indptr, log2_bits
+
+
 def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
                     pos_keys: np.ndarray, num_users: int, num_items: int,
-                    P: int):
+                    P: int, key_filter=None):
     """Per-epoch pool prep: P pool items per step (uniform, with
     replacement), per-sample pool slots, and the rejection mask — the
     pool analogue of :func:`prep_epoch`'s draws (`bpr.pyx:165-167`).
@@ -531,19 +551,43 @@ def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
     pool2 = rng.integers(0, num_items, (S, P)).astype(np.int32)
     r2 = rng.integers(0, P, (S, B)).astype(np.int32)
     j2 = pool2[np.arange(S)[:, None], r2]
-    mask = _reject_mask(u2, j2, pos_keys, num_users, num_items)
+    mask = _reject_mask(u2, j2, pos_keys, num_users, num_items,
+                        key_filter=key_filter)
     rjs = r2.reshape(S, B // 128, 128)
     return pool2, rjs, mask, j2
 
 
-def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int):
+def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int,
+                 key_filter=None):
     """``1.0`` where the sample is in-data and ``(u, j)`` is not a known
     positive.  Uses the C++ OpenMP membership test when built (the
     20M-lookup `searchsorted` is the pool prep's only hot loop) —
-    bit-identical to the numpy path, which stays the sole RNG source."""
+    bit-identical to the numpy path, which stays the sole RNG source.
+    The v2 form bounds each lookup by the user's indptr slice of the
+    sorted keys (an ~8-probe search over ~1KB instead of ~24 DRAM-random
+    probes over the whole key array — measured ~10x at ML-20M shapes)."""
     import os
     if os.environ.get("CYMF_TPU_PREP", "").lower() != "numpy":
         from ..native import HAVE_NATIVE, _native
+        if key_filter is not None and HAVE_NATIVE \
+                and hasattr(_native, "pool_reject_v3"):
+            keys, filt, indptr, log2_bits = key_filter
+            u2c = np.ascontiguousarray(u2, np.int32)
+            j2c = np.ascontiguousarray(j2, np.int32)
+            mb = _native.pool_reject_v3(u2c, j2c, keys, indptr, filt,
+                                        u2c.size, num_users, num_items,
+                                        log2_bits)
+            return np.frombuffer(mb, np.float32).reshape(u2.shape)
+        if HAVE_NATIVE and hasattr(_native, "pool_reject_v2"):
+            u2c = np.ascontiguousarray(u2, np.int32)
+            j2c = np.ascontiguousarray(j2, np.int32)
+            keys = np.ascontiguousarray(pos_keys, np.int64)
+            indptr = np.searchsorted(
+                keys, np.arange(num_users + 1, dtype=np.int64)
+                * num_items).astype(np.int64)
+            mb = _native.pool_reject_v2(u2c, j2c, keys, indptr, u2c.size,
+                                        num_users, num_items)
+            return np.frombuffer(mb, np.float32).reshape(u2.shape)
         if HAVE_NATIVE and hasattr(_native, "pool_reject"):
             u2c = np.ascontiguousarray(u2, np.int32)
             j2c = np.ascontiguousarray(j2, np.int32)
