@@ -505,6 +505,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
         self.packed_kernel_ = kernel_v
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        # once-per-fit rejection filter (pool prep's hot membership test)
+        from ..ops.packed_epoch import make_reject_filter
+        self._key_filter = make_reject_filter(pos_keys, U, I) \
+            if self.neg_pool else None
 
         Wp = jnp.asarray(pk.pack_array(self.W, K, multiple=wrows_w))
         Hp = jnp.asarray(pk.pack_logical(self.H, K, multiple=wrows_h))
@@ -567,18 +571,32 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         self._last_loss_dev = None
 
+        # pool mode: the per-sample slot stream is drawn ONCE per fit and
+        # lives on device for the whole fit (a fresh uniform pool per
+        # epoch makes j = pool_e[r] distributionally identical to
+        # redrawing r — see prep_pool_epoch) — per-epoch uploads shrink
+        # to the pool ids + a uint8 mask
+        r2_fit = rjs_d = None
+        if kernel_v == 8:
+            rng_r = np.random.default_rng((seed, 1 << 20))
+            r2_fit = rng_r.integers(0, self.neg_pool, u2.shape,
+                                    dtype=np.int32)
+            rjs_d = jnp.asarray(
+                r2_fit.reshape(u2.shape[0], u2.shape[1] // 128, 128))
+
         def epoch_fn(epoch):
             nonlocal Wp, Hp, ow, oh
             if kernel_v == 8:
                 from ..ops.packed_epoch import (packed_bpr_pool_epoch,
                                                 prep_pool_epoch)
                 rng = np.random.default_rng((seed, epoch))
-                pool2, rjs, mask, _ = prep_pool_epoch(
-                    rng, u2, pos_keys, U, I, self.neg_pool)
+                pool2, _, mask, _ = prep_pool_epoch(
+                    rng, u2, pos_keys, U, I, self.neg_pool, r2=r2_fit,
+                    key_filter=self._key_filter)
                 Wp, Hp, ow, oh, self._last_loss_dev = \
                     packed_bpr_pool_epoch(
                         Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
-                        jnp.asarray(pool2), jnp.asarray(rjs),
+                        jnp.asarray(pool2), rjs_d,
                         jnp.asarray(mask), winw_d, n_valid,
                         opt_name=self.optimizer, lr=self.learning_rate,
                         weight_decay=self.weight_decay, K=K, rw=rw,
@@ -646,6 +664,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
                                                         wrows)
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        # once-per-fit rejection filter (pool prep's hot membership test)
+        from ..ops.packed_epoch import make_reject_filter
+        self._key_filter = make_reject_filter(pos_keys, U, I) \
+            if self.neg_pool else None
 
         Wd = jnp.asarray(pack_wide(self.W, K, multiple=wrows))
         Hd = jnp.asarray(pack_wide(self.H, K, multiple=wrows))
@@ -748,6 +770,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        # once-per-fit rejection filter (pool prep's hot membership test)
+        from ..ops.packed_epoch import make_reject_filter
+        self._key_filter = make_reject_filter(pos_keys, U, I) \
+            if self.neg_pool else None
         rng = np.random.default_rng(seed)
         interpret = jax.default_backend() != "tpu"
 

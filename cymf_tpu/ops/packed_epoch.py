@@ -313,6 +313,7 @@ def packed_bpr_pool_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
         u, i, si, rowsi, wi, pool, rj, mf, ww = xs
+        mf = mf.astype(jnp.float32)  # uint8 upload, f32 decoration
         phys_u, slot_u = u // s, u % s
 
         Du = decorate(Wp.at[jnp.minimum(phys_u, rw - 1)].get(
@@ -540,21 +541,30 @@ def make_reject_filter(pos_keys, num_users: int, num_items: int):
 
 def prep_pool_epoch(rng: np.random.Generator, u2: np.ndarray,
                     pos_keys: np.ndarray, num_users: int, num_items: int,
-                    P: int, key_filter=None):
+                    P: int, r2=None, key_filter=None):
     """Per-epoch pool prep: P pool items per step (uniform, with
     replacement), per-sample pool slots, and the rejection mask — the
     pool analogue of :func:`prep_epoch`'s draws (`bpr.pyx:165-167`).
     j-side sort permutations do not exist in pool mode (the kernel
     accumulates the pool side in-place), so epoch prep is draw +
-    searchsorted only."""
+    membership only.
+
+    ``r2`` (per-sample pool slots) may be drawn ONCE per fit and passed
+    in: with a fresh uniform pool every epoch, ``j = pool_e[r]`` is
+    distributionally identical whether ``r`` is redrawn or fixed
+    (independent uniform negatives across epochs either way), and a
+    fixed ``r`` makes the big slot-stream upload once-per-fit.  The
+    mask returns as uint8 (cast on device) to quarter the per-epoch
+    host->device transfer."""
     S, B = u2.shape
-    pool2 = rng.integers(0, num_items, (S, P)).astype(np.int32)
-    r2 = rng.integers(0, P, (S, B)).astype(np.int32)
+    pool2 = rng.integers(0, num_items, (S, P), dtype=np.int32)
+    if r2 is None:
+        r2 = rng.integers(0, P, (S, B), dtype=np.int32)
     j2 = pool2[np.arange(S)[:, None], r2]
     mask = _reject_mask(u2, j2, pos_keys, num_users, num_items,
                         key_filter=key_filter)
     rjs = r2.reshape(S, B // 128, 128)
-    return pool2, rjs, mask, j2
+    return pool2, rjs, mask.astype(np.uint8), j2
 
 
 def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int,
