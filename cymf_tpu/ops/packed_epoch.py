@@ -205,6 +205,7 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
     def step(carry, xs):
         Wp, Hp, ow, oh, loss_acc = carry
         u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww, wstart, bcs, bcn = xs
+        mf = mf.astype(jnp.float32)  # uint8 upload, f32 decoration
         phys_u, slot_u = u // s, u % s
 
         # fused sample phase (Pallas): W slot extraction, score/loss, and
@@ -644,7 +645,8 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
             u2c, keys, S, B, num_users, num_items, 1, rh,
             wrows_h, tile, int(native_seed))
         return (np.frombuffer(jb, np.int32).reshape(S, B),
-                np.frombuffer(mb, np.float32).reshape(S, B),
+                np.frombuffer(mb, np.float32).reshape(S, B)
+                .astype(np.uint8),
                 np.frombuffer(pb, np.int32).reshape(S, B),
                 np.frombuffer(rb, np.int32).reshape(S, B // 128, 128),
                 np.frombuffer(wb, np.int32).reshape(S, 2, rh // wrows_h))
@@ -656,6 +658,6 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     idx = np.minimum(idx, max(len(pos_keys) - 1, 0))
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
-    mask = (in_data & ~collide).astype(np.float32)
+    mask = (in_data & ~collide).astype(np.uint8)
     sj, rowsj, winj = _sorted_side(j2, rh, wrows_h, tile)
     return j2, mask, sj, rowsj, winj

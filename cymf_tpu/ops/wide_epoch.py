@@ -93,6 +93,7 @@ def wide_bpr_epoch(W, H, ow, oh, u_steps, i_steps, rowsu_steps, winw,
     def step(carry, xs):
         W, H, ow, oh, loss_acc = carry
         u, i, rowsu, ww, si, rowsi, wi, j, mf, sj, rowsj, wj = xs
+        mf = mf.astype(jnp.float32)  # uint8 upload, f32 math
 
         wu, hi, hj = W[u], H[i], H[j]
         x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
