@@ -505,10 +505,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
         self.packed_kernel_ = kernel_v
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
-        # once-per-fit rejection filter (pool prep's hot membership test)
+        # once-per-fit rejection filter (the prep's hot membership test
+        # for both the exact and pool engines)
         from ..ops.packed_epoch import make_reject_filter
-        self._key_filter = make_reject_filter(pos_keys, U, I) \
-            if self.neg_pool else None
+        self._key_filter = make_reject_filter(pos_keys, U, I)
 
         Wp = jnp.asarray(pk.pack_array(self.W, K, multiple=wrows_w))
         Hp = jnp.asarray(pk.pack_logical(self.H, K, multiple=wrows_h))
@@ -609,7 +609,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
             rng = np.random.default_rng((seed, epoch))
             j2, mask, sj, rowsj, winj = prep_epoch(
                 rng, u2, i2, pos_keys, U, I, K, rh, wrows_h,
-                native_seed=seed * 1_000_003 + epoch)
+                native_seed=seed * 1_000_003 + epoch,
+                key_filter=self._key_filter)
             Wp, Hp, ow, oh, self._last_loss_dev = packed_bpr_epoch(
                 Wp, Hp, ow, oh, u2d, i2d, si_d, rowsi_d, wini_d,
                 jnp.asarray(j2), jnp.asarray(mask), jnp.asarray(sj),
@@ -664,10 +665,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
                                                         wrows)
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
-        # once-per-fit rejection filter (pool prep's hot membership test)
+        # once-per-fit rejection filter (the prep's hot membership test
+        # for both the exact and pool engines)
         from ..ops.packed_epoch import make_reject_filter
-        self._key_filter = make_reject_filter(pos_keys, U, I) \
-            if self.neg_pool else None
+        self._key_filter = make_reject_filter(pos_keys, U, I)
 
         Wd = jnp.asarray(pack_wide(self.W, K, multiple=wrows))
         Hd = jnp.asarray(pack_wide(self.H, K, multiple=wrows))
@@ -770,10 +771,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
-        # once-per-fit rejection filter (pool prep's hot membership test)
+        # once-per-fit rejection filter (the prep's hot membership test
+        # for both the exact and pool engines)
         from ..ops.packed_epoch import make_reject_filter
-        self._key_filter = make_reject_filter(pos_keys, U, I) \
-            if self.neg_pool else None
+        self._key_filter = make_reject_filter(pos_keys, U, I)
         rng = np.random.default_rng(seed)
         interpret = jax.default_backend() != "tpu"
 

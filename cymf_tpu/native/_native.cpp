@@ -524,6 +524,175 @@ static PyObject* pool_reject_v3(PyObject*, PyObject* args) {
   return m_bytes;
 }
 
+static PyObject* bpr_prep_epoch_v3(PyObject*, PyObject* args) {
+  // v2 with filter-accelerated rejection: same mt19937_64 per-step
+  // streams and outputs BIT-IDENTICAL to bpr_prep_epoch_v2 (draws
+  // happen first in the same order; only the membership test changes —
+  // 1-bit filter probe with software prefetch, exact per-user-range
+  // binary search on set bits).
+  Py_buffer u_buf{}, keys_buf{}, ptr_buf{}, f_buf{};
+  int64_t S, B, U, I, slots, rh, wrows, tile, seed, log2_bits;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*LLLLLLLLLL", &u_buf, &keys_buf,
+                        &ptr_buf, &f_buf, &S, &B, &U, &I, &slots, &rh,
+                        &wrows, &tile, &seed, &log2_bits)) {
+    return nullptr;
+  }
+  BufferGuard ug{u_buf}, kg{keys_buf}, pg{ptr_buf}, fg{f_buf};
+  if (S <= 0 || B <= 0 || U <= 0 || I <= 0 || slots <= 0 || wrows <= 0 ||
+      tile <= 0 || rh <= 0 || rh % wrows != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: dimensions must be positive and "
+                    "rh a multiple of wrows");
+    return nullptr;
+  }
+  if ((I + slots - 1) / slots > rh) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: rh must cover ceil(I/slots) "
+                    "physical rows");
+    return nullptr;
+  }
+  if (u_buf.len != S * B * static_cast<int64_t>(sizeof(int32_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: u2 buffer length != S*B int32");
+    return nullptr;
+  }
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0 ||
+      ptr_buf.len != (U + 1) * static_cast<int64_t>(sizeof(int64_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: bad pos_keys/indptr buffer");
+    return nullptr;
+  }
+  if (log2_bits < 10 || log2_bits > 36 ||
+      f_buf.len != (1LL << log2_bits) / 8) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: filter length != 2^log2_bits "
+                    "bits");
+    return nullptr;
+  }
+  const int32_t* u2 = static_cast<const int32_t*>(u_buf.buf);
+  const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
+  const int64_t* indptr = static_cast<const int64_t*>(ptr_buf.buf);
+  const uint64_t* bits = static_cast<const uint64_t*>(f_buf.buf);
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+  if (indptr[0] != 0 || indptr[U] != nkeys) {
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: indptr must span pos_keys");
+    return nullptr;
+  }
+  const int shift = 64 - static_cast<int>(log2_bits);
+
+  const int64_t nw = rh / wrows;
+  PyObject* j_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* m_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* p_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* r_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* w_bytes = PyBytes_FromStringAndSize(nullptr, S * 2 * nw * 4);
+  if (!j_bytes || !m_bytes || !p_bytes || !r_bytes || !w_bytes) {
+    Py_XDECREF(j_bytes); Py_XDECREF(m_bytes); Py_XDECREF(p_bytes);
+    Py_XDECREF(r_bytes); Py_XDECREF(w_bytes);
+    return nullptr;
+  }
+  int32_t* j2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(j_bytes));
+  float* mask = reinterpret_cast<float*>(PyBytes_AS_STRING(m_bytes));
+  int32_t* sj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(p_bytes));
+  int32_t* rowsj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(r_bytes));
+  int32_t* winj = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(w_bytes));
+
+  bool bad_range = false;
+  Py_BEGIN_ALLOW_THREADS;
+  constexpr int64_t kAhead = 64;
+#ifdef _OPENMP
+#pragma omp parallel reduction(||: bad_range)
+#endif
+  {
+    std::vector<int64_t> counts(rh + 1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int64_t t = 0; t < S; ++t) {
+      const int32_t* u = u2 + t * B;
+      int32_t* j = j2 + t * B;
+      float* mf = mask + t * B;
+      uint64_t z = static_cast<uint64_t>(seed) + 0x9e3779b97f4a7c15ULL *
+                   (static_cast<uint64_t>(t) + 1);
+      z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+      std::mt19937_64 gen(z ^ (z >> 31));
+      std::uniform_int_distribution<int64_t> dist(0, I - 1);
+      // pass 1: draws only (same stream order as v2)
+      for (int64_t b = 0; b < B; ++b) {
+        j[b] = static_cast<int32_t>(dist(gen));
+      }
+      // pass 2: rejection with filter probes prefetched ahead
+      for (int64_t b = 0; b < B; ++b) {
+        if (b + kAhead < B) {
+          const int64_t ua = static_cast<int64_t>(u[b + kAhead]);
+          if (ua < U) {
+            const uint64_t ha = splitmix64(
+                static_cast<uint64_t>(ua * I + j[b + kAhead])) >> shift;
+            __builtin_prefetch(&bits[ha >> 6], 0, 0);
+          }
+        }
+        const int64_t ub = static_cast<int64_t>(u[b]);
+        bool live = ub < U;
+        if (live && nkeys > 0) {
+          const int64_t key = ub * I + j[b];
+          const uint64_t h =
+              splitmix64(static_cast<uint64_t>(key)) >> shift;
+          if (bits[h >> 6] & (1ULL << (h & 63))) {
+            const int64_t lo = indptr[ub], hi = indptr[ub + 1];
+            if (lo < 0 || hi < lo || hi > nkeys) {
+              bad_range = true;
+            } else {
+              live = !std::binary_search(pos_keys + lo, pos_keys + hi,
+                                         key);
+            }
+          }
+        }
+        mf[b] = live ? 1.0f : 0.0f;
+      }
+      // counting sort of j by physical row (identical to v2)
+      std::fill(counts.begin(), counts.end(), 0);
+      for (int64_t b = 0; b < B; ++b) ++counts[j[b] / slots + 1];
+      for (int64_t r = 0; r < rh; ++r) counts[r + 1] += counts[r];
+      int32_t* ws = winj + t * 2 * nw;
+      for (int64_t w = 0; w < nw; ++w) {
+        const int64_t lo = counts[w * wrows];
+        const int64_t hi =
+            (w + 1) * wrows <= rh ? counts[(w + 1) * wrows] : B;
+        int64_t astart = (lo / 128) * 128;
+        const int64_t nch = (hi - astart + tile - 1) / tile;
+        if (astart + nch * tile > B) {
+          int64_t need = (B - lo + tile - 1) / tile;
+          if (nch > need) need = nch;
+          astart = B - need * tile;
+        }
+        ws[w] = static_cast<int32_t>(astart);
+        ws[nw + w] = static_cast<int32_t>(hi - astart);
+      }
+      int32_t* pj = sj + t * B;
+      int32_t* rj = rowsj + t * B;
+      std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+      for (int64_t b = 0; b < B; ++b) {
+        const int64_t pos = cursor[j[b] / slots]++;
+        pj[pos] = static_cast<int32_t>(b);
+        rj[pos] = j[b] / slots;
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  if (bad_range) {
+    Py_DECREF(j_bytes); Py_DECREF(m_bytes); Py_DECREF(p_bytes);
+    Py_DECREF(r_bytes); Py_DECREF(w_bytes);
+    PyErr_SetString(PyExc_ValueError,
+                    "bpr_prep_epoch_v3: indptr not nondecreasing");
+    return nullptr;
+  }
+  return Py_BuildValue("(NNNNN)", j_bytes, m_bytes, p_bytes,
+                       r_bytes, w_bytes);
+}
+
 static PyMethodDef kMethods[] = {
     {"cooccurrence", cooccurrence, METH_VARARGS,
      "Accumulate left-window 1/distance co-occurrence counts."},
@@ -537,6 +706,8 @@ static PyMethodDef kMethods[] = {
      "One-bit membership filter over sorted keys (built once per fit)."},
     {"pool_reject_v3", pool_reject_v3, METH_VARARGS,
      "Filter-accelerated rejection mask (prefetch + exact fallback)."},
+    {"bpr_prep_epoch_v3", bpr_prep_epoch_v3, METH_VARARGS,
+     "v2 prep with filter-accelerated rejection (same streams)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

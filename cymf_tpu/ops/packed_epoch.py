@@ -618,7 +618,8 @@ def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int,
 
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
-               rh: int, wrows_h: int, tile: int = TILE, native_seed=None):
+               rh: int, wrows_h: int, tile: int = TILE, native_seed=None,
+               key_filter=None):
     """Once per epoch: negative draws, rejection+padding mask, and the
     j-side sort permutation/rows/windows.  Mirrors `bpr.pyx:165-167`: one
     uniform draw per interaction, collisions with known positives masked
@@ -641,9 +642,16 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
         u2c = np.ascontiguousarray(u2, np.int32)
         keys = np.ascontiguousarray(pos_keys, np.int64)
         # slots=1: the logical H layout's target row IS the item id
-        jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
-            u2c, keys, S, B, num_users, num_items, 1, rh,
-            wrows_h, tile, int(native_seed))
+        if key_filter is not None \
+                and hasattr(_native, "bpr_prep_epoch_v3"):
+            fkeys, filt, indptr, log2_bits = key_filter
+            jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v3(
+                u2c, fkeys, indptr, filt, S, B, num_users, num_items,
+                1, rh, wrows_h, tile, int(native_seed), log2_bits)
+        else:
+            jb, mb, pb, rb, wb = _native.bpr_prep_epoch_v2(
+                u2c, keys, S, B, num_users, num_items, 1, rh,
+                wrows_h, tile, int(native_seed))
         return (np.frombuffer(jb, np.int32).reshape(S, B),
                 np.frombuffer(mb, np.float32).reshape(S, B)
                 .astype(np.uint8),

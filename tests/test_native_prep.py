@@ -174,3 +174,34 @@ def test_pool_reject_matches_numpy():
     with pytest.raises(ValueError):
         _native.pool_reject(u2[:, :100].tobytes(), j2.tobytes(),
                             pos_keys.tobytes(), u2.size, U, I)
+
+
+def test_prep_epoch_v3_bit_identical_to_v2():
+    """Filter-accelerated native prep (v3) must reproduce v2's outputs
+    exactly: same mt19937 per-step streams, same masks, sorts, windows."""
+    import numpy as np
+
+    from cymf_tpu.native import HAVE_NATIVE, _native
+    from cymf_tpu.ops.packed_epoch import make_reject_filter, prep_epoch
+
+    if not (HAVE_NATIVE and hasattr(_native, "bpr_prep_epoch_v3")):
+        import pytest
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(2)
+    U, I, K, S, B = 300, 200, 20, 2, 2048
+    u2 = np.sort(rng.integers(0, U + 20, (S, B)).astype(np.int32), axis=1)
+    i2 = rng.integers(0, I, (S, B)).astype(np.int32)
+    rh = 512
+    pos_keys = np.unique(
+        rng.integers(0, U, 1500).astype(np.int64) * I
+        + rng.integers(0, I, 1500))
+    kf = make_reject_filter(pos_keys, U, I)
+    a = prep_epoch(np.random.default_rng(1), u2, i2, pos_keys, U, I, K,
+                   rh, 512, native_seed=77)
+    b = prep_epoch(np.random.default_rng(1), u2, i2, pos_keys, U, I, K,
+                   rh, 512, native_seed=77, key_filter=kf)
+    for x, y, name in zip(a, b, ("j2", "mask", "sj", "rowsj", "winj")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    assert np.asarray(a[1]).min() == 0 and np.asarray(a[1]).mean() > 0.5
