@@ -150,7 +150,8 @@ def _pad_lanes(a):
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
                               "rh", "wrows_w", "wrows_h", "interpret",
-                              "precision", "kernel_v"))
+                              "precision", "kernel_v"),
+    donate_argnums=(0, 1, 2, 3))
 def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                      rowsi_steps, wini, j_steps, mask_steps, sj_steps,
                      rowsj_steps, winj, winw, wstart_steps, cs_steps,
@@ -276,7 +277,8 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
                               "rh", "wrows_w", "wrows_h", "interpret",
-                              "precision"))
+                              "precision"),
+    donate_argnums=(0, 1, 2, 3))
 def packed_bpr_pool_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
                           rowsi_steps, wini, pool_steps, rj_steps,
                           mask_steps, winw, n_valid, *,

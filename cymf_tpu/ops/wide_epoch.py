@@ -68,7 +68,8 @@ def _count_block(payload, mf):
 
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
-                              "rh", "wrows", "interpret", "precision"))
+                              "rh", "wrows", "interpret", "precision"),
+    donate_argnums=(0, 1, 2, 3))
 def wide_bpr_epoch(W, H, ow, oh, u_steps, i_steps, rowsu_steps, winw,
                    si_steps, rowsi_steps, wini, j_steps, mask_steps,
                    sj_steps, rowsj_steps, winj, n_valid, *, opt_name, lr,

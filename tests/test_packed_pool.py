@@ -65,8 +65,10 @@ def test_pool_epoch_matches_exact_engine_same_stream(P, opt_name):
     # --- pool engine
     winw_p, si, rowsi, wini = prep_static_pool(u2, i2, K, rw, rh, wrows,
                                                wrows)
+    # fresh copies per engine call: the epoch fns donate their state
+    # buffers (no-op on the CPU backend, but keep the test TPU-correct)
     Wp1, Hp1, _, _, loss1 = packed_bpr_pool_epoch(
-        Wp0, Hp0, opt.init(Wp0), opt.init(Hp0),
+        jnp.array(Wp0), jnp.array(Hp0), opt.init(Wp0), opt.init(Hp0),
         jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(si),
         jnp.asarray(rowsi), jnp.asarray(wini), jnp.asarray(pool2),
         jnp.asarray(rjs), jnp.asarray(mask), jnp.asarray(winw_p),
@@ -79,7 +81,7 @@ def test_pool_epoch_matches_exact_engine_same_stream(P, opt_name):
         u2, i2, K, rw, rh, wrows, wrows)
     sj, rowsj, winj = _sorted_side(j2, rh, wrows, 1024)
     Wp2, Hp2, _, _, loss2 = packed_bpr_epoch(
-        Wp0, Hp0, opt.init(Wp0), opt.init(Hp0),
+        jnp.array(Wp0), jnp.array(Hp0), opt.init(Wp0), opt.init(Hp0),
         jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(si2),
         jnp.asarray(rowsi2), jnp.asarray(wini2), jnp.asarray(j2),
         jnp.asarray(mask), jnp.asarray(sj), jnp.asarray(rowsj),
