@@ -75,10 +75,108 @@ def main():
         rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows_h))
     opt = make_packed_optimizer("adam", 0.001)
     ow, oh = opt.init(Wp), opt.init(Hp)
+    s = pk.num_slots(K)
+
+    # ABL_POOL=P: per-stage ablation of the pool engine (v8) instead
+    P = int(os.environ.get("ABL_POOL", "0"))
+    if P:
+        from cymf_tpu.ops.fused_step import bpr_pool_step_v8
+        from cymf_tpu.ops.packed_epoch import (packed_bpr_pool_epoch,
+                                               prep_pool_epoch,
+                                               prep_static_pool)
+        winw_p, si_p, rowsi_p, wini_p = prep_static_pool(
+            u2, i2, K, rw, rh, wrows_w, wrows_h)
+        pool2, rjs, maskp, _ = prep_pool_epoch(
+            np.random.default_rng(0), u2, pos_keys, U, I, P)
+        xs = tuple(jnp.asarray(x) for x in
+                   (u2, i2, si_p, rowsi_p, wini_p, pool2, rjs, maskp,
+                    winw_p))
+        payb = jnp.arange(pk.LANES) < K
+        sv_neg = jnp.where(payb, jnp.float32(-1), jnp.float32(1))[None, :]
+
+        def stage_scan(body):
+            @jax.jit
+            def run():
+                def step(carry, x):
+                    return carry + body(x), None
+                out, _ = jax.lax.scan(step, jnp.float32(0), xs)
+                return out
+            return run
+
+        def p_gather(x):
+            u, i, _, _, _, pool, rj, mf, ww = x
+            mf = mf.astype(jnp.float32)
+            Du = decorate(Wp.at[jnp.minimum(u // s, rw - 1)].get(
+                indices_are_sorted=True, mode="promise_in_bounds"),
+                u % s, mf, K)
+            return jnp.sum(Du[0]) + jnp.sum(Hp[i][0]) + jnp.sum(Hp[pool][0])
+
+        def p_sample_outs(x):
+            u, i, _, _, _, pool, rj, mf, ww = x
+            mf = mf.astype(jnp.float32)
+            Du = decorate(Wp.at[jnp.minimum(u // s, rw - 1)].get(
+                indices_are_sorted=True, mode="promise_in_bounds"),
+                u % s, mf, K)
+            return bpr_pool_step_v8(
+                _fold_rows(u // s), rj, Du, Hp[i], Hp[pool], ww[0], ww[1],
+                K=K, wd=0.01, rw=rw, wrows=wrows_w, interpret=interpret)
+
+        def p_sample(x):
+            Aw, Ap, Q = p_sample_outs(x)
+            return jnp.sum(Aw[0]) + jnp.sum(Ap[0]) + jnp.sum(Q[0])
+
+        def p_reorder(x):
+            Aw, Ap, Q = p_sample_outs(x)
+            return jnp.sum(Aw[0]) + jnp.sum(Ap[0]) + jnp.sum(Q[x[2]][0])
+
+        def p_accum(x):
+            u, i, sip, rowsi_t, wi, pool, rj, mf, ww = x
+            Aw, Ap, Q = p_sample_outs(x)
+            Ai = sorted_accum(rowsi_t, Q[sip], wi[0], wi[1], r_pad=rh,
+                              wrows=wrows_h, tile=TILE, interpret=interpret,
+                              precision="split")
+            Aj = jnp.zeros((rh, pk.LANES), jnp.float32).at[pool].add(
+                Ap, mode="drop")
+            return jnp.sum(Aw[0]) + jnp.sum((Aj + Ai * sv_neg)[0])
+
+        print(f"S={S} B={B} d={K} rw={rw} rh={rh} engine=v8 P={P} "
+              f"backend={jax.default_backend()}", flush=True)
+        for name, body in (("gathers", p_gather), ("sample", p_sample),
+                           ("reorder", p_reorder), ("accum", p_accum)):
+            run = stage_scan(body)
+            out = run()
+            float(jax.device_get(out))
+            t0 = time.perf_counter()
+            out = run()
+            float(jax.device_get(out))
+            dt = (time.perf_counter() - t0) / S
+            print(f"{name:12s} {dt * 1e3:7.3f} ms/step", flush=True)
+
+        state = [Wp, Hp, ow, oh]
+        n_valid = jnp.asarray(S * B, jnp.int32)
+
+        def full():
+            state[0], state[1], state[2], state[3], loss = \
+                packed_bpr_pool_epoch(
+                    state[0], state[1], state[2], state[3], *xs, n_valid,
+                    opt_name="adam", lr=0.001, weight_decay=0.01, K=K,
+                    rw=rw, rh=rh, wrows_w=wrows_w, wrows_h=wrows_h,
+                    interpret=interpret)
+            return loss
+
+        full()
+        float(jax.device_get(state[0][0, 0]))
+        t0 = time.perf_counter()
+        full()
+        float(jax.device_get(state[0][0, 0]))
+        dt = (time.perf_counter() - t0) / S
+        print(f"{'full step':12s} {dt * 1e3:7.3f} ms/step "
+              f"= {B / dt / 1e6:.1f}M interactions/s", flush=True)
+        return
+
     xs = tuple(jnp.asarray(x) for x in
                (u2, i2, si, rowsi, wini, j2, mask, sj, rowsj, winj, winw,
                 wstart, bcs, bcn))
-    s = pk.num_slots(K)
 
     def stage_scan(body):
         @jax.jit
