@@ -16,6 +16,7 @@ timeout 2400 python scripts/ablate_packed.py 12 > /tmp/r3_logs/ablate_auto.log 2
 # forced v4 and v7 for comparison
 CYMF_TPU_PACKED_KERNEL=4 timeout 2400 python scripts/ablate_packed.py 12 > /tmp/r3_logs/ablate_v4.log 2>&1
 CYMF_TPU_PACKED_KERNEL=7 timeout 2400 python scripts/ablate_packed.py 12 > /tmp/r3_logs/ablate_v7.log 2>&1
+ABL_POOL=1024 timeout 2400 python scripts/ablate_packed.py 12 > /tmp/r3_logs/ablate_pool.log 2>&1
 
 # 3. headline + pool sweep + wide + evaluator
 timeout 2400 python bench.py > /tmp/r3_logs/bench_bpr.log 2>&1
