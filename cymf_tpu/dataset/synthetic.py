@@ -80,42 +80,57 @@ def bench_interactions(num_user: int, num_item: int, nnz: int,
     sorted streams had giant single-row runs and ~77% of negative draws
     were rejection-masked, neither of which real data exhibits."""
     rng = np.random.default_rng(seed)
+    # ~35% of the catalog, relaxed to the minimum feasible (uniform)
+    # level for dense small configs, never beyond the catalog itself
+    cap = min(num_item, max(int(num_item * 0.35), -(-nnz // num_user), 1))
+    if nnz > num_user * cap:
+        raise ValueError(
+            f"nnz={nnz} exceeds num_user*num_item — impossible for "
+            "distinct-leaning interactions")
     ranks = np.arange(1, num_user + 1, dtype=np.float64)
     w = ranks ** -0.8
-    cap = max(int(num_item * 0.35), 1)
-    deg = w * (nnz / w.sum())
-    # one redistribution pass: clip to the cap, hand the clipped mass to
-    # the uncapped tail, then trim/pad to exactly nnz
-    over = deg > cap
-    spare = (deg[over] - cap).sum()
-    deg[over] = cap
-    tail = ~over
-    deg[tail] += spare * (deg[tail] / max(deg[tail].sum(), 1e-9))
-    deg = np.minimum(np.round(deg), cap).astype(np.int64)
-    diff = nnz - int(deg.sum())
-    if diff:  # spread the rounding remainder over the largest rooms
-        room = cap - deg if diff > 0 else deg
-        idx = np.argsort(-room)[:abs(diff)]
-        deg[idx] += np.sign(diff)
+    degf = w * (nnz / w.sum())
+    # shape-preserving cap: move clipped mass onto the uncapped tail
+    # proportionally, iterating until no user exceeds the cap (keeps the
+    # power-law shape below the cap instead of flattening the tail)
+    for _ in range(200):
+        over = degf > cap
+        spare = float((degf[over] - cap).sum())
+        degf[over] = cap
+        tail = ~over
+        if spare <= 1e-9 or not tail.any():
+            break
+        degf[tail] *= 1.0 + spare / float(degf[tail].sum())
+    degf = np.minimum(degf, cap)
+    deg = np.floor(degf).astype(np.int64)
+    # exact conservation: +1 to the largest fractional remainders (room
+    # permitting — the capacity check above guarantees enough room), then
+    # a waterfill fallback for any pathological leftover
+    deficit = nnz - int(deg.sum())
+    if deficit > 0:
+        order = np.argsort(-(degf - deg), kind="stable")
+        takeable = order[(cap - deg)[order] >= 1]
+        deg[takeable[:deficit]] += 1
+        deficit = nnz - int(deg.sum())
+        if deficit > 0:
+            room = cap - deg
+            idx = np.argsort(-room, kind="stable")
+            prior = np.concatenate([[0], np.cumsum(room[idx])[:-1]])
+            deg[idx] += np.clip(deficit - prior, 0, room[idx])
+    assert int(deg.sum()) == nnz, (deg.sum(), nnz)
     users = np.repeat(np.arange(num_user, dtype=np.int32), deg)
     items = np.empty(nnz, np.int32)
     # near-distinct per-user items: permutation slices for heavy users,
     # with-replacement draws elsewhere (dup rate < 4% at deg <= cap/4)
     heavy = np.flatnonzero(deg > num_item // 4)
-    light_total = int(deg.sum() - deg[heavy].sum())
-    items_light = rng.integers(0, num_item, size=light_total,
-                               dtype=np.int32)
-    pos = 0
-    lpos = 0
     starts = np.concatenate([[0], np.cumsum(deg)])
-    hset = set(heavy.tolist())
+    mask = np.ones(nnz, bool)
     for u in heavy:
         d = int(deg[u])
         items[starts[u]:starts[u] + d] = rng.permutation(
             num_item).astype(np.int32)[:d]
-    mask = np.ones(nnz, bool)
-    for u in heavy:
         mask[starts[u]:starts[u + 1]] = False
-    items[mask] = items_light
+    items[mask] = rng.integers(0, num_item, size=int(mask.sum()),
+                               dtype=np.int32)
     perm = rng.permutation(nnz)
     return users[perm], items[perm]

@@ -248,9 +248,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
         if packed == "on" and engine != "xla":
             raise ValueError("packed='on' requires engine='xla'")
         self.neg_pool = int(neg_pool)
-        if self.neg_pool and (self.neg_pool < 128 or self.neg_pool % 128):
-            raise ValueError("neg_pool must be 0 or a positive multiple "
-                             "of 128")
+        if self.neg_pool and (self.neg_pool < 128 or self.neg_pool % 128
+                              or self.neg_pool > 2048):
+            raise ValueError("neg_pool must be 0 or a multiple of 128 in "
+                             "[128, 2048] (the pool and its one-hot tiles "
+                             "must stay VMEM-resident)")
         if self.neg_pool and packed == "off":
             raise ValueError("neg_pool requires the packed engine")
         if self.optimizer not in ("sgd", "adagrad", "adam"):
@@ -495,7 +497,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 u2, i2, K, rw, rh, wrows_w, wrows_h)
             wstart = bcs = bcn = np.zeros((u2.shape[0], 1), np.int32)
             kernel_v = 8
-            self.prep_backend_ = "numpy"  # pool prep has no native path
+            # pool prep DRAWS only from the portable numpy PCG64 stream
+            # (the native pool_reject helper accelerates the membership
+            # test bit-identically) — record the stream, not the helper
+            self.prep_backend_ = "numpy"
         else:
             winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = \
                 prep_static(u2, i2, K, rw, rh, wrows_w, wrows_h)
@@ -720,7 +725,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
             rng = np.random.default_rng((seed, epoch))
             j2, mask, sj, rowsj, winj = prep_epoch(
                 rng, u2, i2, pos_keys, U, I, K, rh, wrows,
-                native_seed=seed * 1_000_003 + epoch)
+                native_seed=seed * 1_000_003 + epoch,
+                key_filter=self._key_filter)
             Wd, Hd, ow, oh, self._last_loss_dev = wide_bpr_epoch(
                 Wd, Hd, ow, oh, u2d, i2d, rowsu_d, winw_d, si_d, rowsi_d,
                 wini_d, jnp.asarray(j2), jnp.asarray(mask),
@@ -771,10 +777,6 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
-        # once-per-fit rejection filter (the prep's hot membership test
-        # for both the exact and pool engines)
-        from ..ops.packed_epoch import make_reject_filter
-        self._key_filter = make_reject_filter(pos_keys, U, I)
         rng = np.random.default_rng(seed)
         interpret = jax.default_backend() != "tpu"
 

@@ -352,6 +352,10 @@ static PyObject* pool_reject_v2(PyObject*, PyObject* args) {
   for (int64_t b = 0; b < n; ++b) {
     const int64_t ub = static_cast<int64_t>(u[b]);
     bool live = ub < U;
+    if (ub < 0) {
+      bad_range = true;
+      live = false;
+    }
     if (live) {
       const int64_t lo = indptr[ub], hi = indptr[ub + 1];
       if (lo < 0 || hi < lo || hi > nkeys) {
@@ -498,6 +502,10 @@ static PyObject* pool_reject_v3(PyObject*, PyObject* args) {
       }
       const int64_t ub = static_cast<int64_t>(u[b]);
       bool live = ub < U;
+      if (ub < 0) {
+        bad_range = true;
+        live = false;
+      }
       if (live) {
         const int64_t key = ub * I + j[b];
         const uint64_t h =
@@ -636,6 +644,10 @@ static PyObject* bpr_prep_epoch_v3(PyObject*, PyObject* args) {
         }
         const int64_t ub = static_cast<int64_t>(u[b]);
         bool live = ub < U;
+        if (ub < 0) {
+          bad_range = true;
+          live = false;
+        }
         if (live && nkeys > 0) {
           const int64_t key = ub * I + j[b];
           const uint64_t h =

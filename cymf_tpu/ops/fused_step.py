@@ -435,11 +435,15 @@ def bpr_range_step_v7(rowsw, Du_dec, Hi, Dj, starts, counts, *, K: int,
 # v8: shared-negative-pool variant of v7 (opt-in, BPR(neg_pool=P))
 # ---------------------------------------------------------------------------
 
+POOL_MAX = 2048  # (P,128) pool + (P,tile) one-hot tiles stay in VMEM
+
+
 def supports_v8(K: int, rw: int, wrows: int = 512, P: int = 0) -> bool:
     """v8 = v7's range-based fused step with the negative side served
     from a per-step item POOL resident in VMEM.  Same structural gates as
-    v7 plus a lane-aligned pool size."""
-    return supports_v7(K, rw, wrows) and P >= LANES and P % LANES == 0
+    v7 plus a lane-aligned, VMEM-bounded pool size."""
+    return supports_v7(K, rw, wrows) and P >= LANES \
+        and P % LANES == 0 and P <= POOL_MAX
 
 
 def _kernel_v8(st_ref, ct_ref, rowsw, rjs, hpool, du_hbm, hi_hbm,
@@ -633,7 +637,7 @@ def bpr_pool_step_v8(rowsw, rjs, Du_dec, Hi, Hpool, starts, counts, *,
     P = Hpool.shape[0]
     if not supports_v8(K, rw, wrows, P):
         raise ValueError("v8 gate: v7 gates plus P a positive multiple "
-                         "of 128")
+                         f"of 128 <= {POOL_MAX}")
     nw = rw // wrows
     kern = functools.partial(
         _kernel_v8, K=int(K), s=s, cb=cb, wd=float(wd), tile=tile,

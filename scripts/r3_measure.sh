@@ -6,7 +6,11 @@ mkdir -p /tmp/r3_logs
 cd /root/repo
 
 # 0. sanity ping
-timeout 600 python /tmp/tpu_ping.py > /tmp/r3_logs/ping.log 2>&1 || exit 1
+timeout 600 python -c "
+import jax
+x = jax.numpy.ones((256, 256))
+print('devices', jax.devices(), float(jax.device_get((x @ x).sum())))
+" > /tmp/r3_logs/ping.log 2>&1 || exit 1
 
 # 1. roofline microbenchmarks (gather/scatter/pallas-DMA rates)
 timeout 2400 python scripts/roofline_gather.py > /tmp/r3_logs/roofline.log 2>&1
