@@ -24,6 +24,14 @@ Environment knobs:
 
 BENCH_MODEL=all runs every mode and writes BENCH_ALL.json (one object per
 mode), still printing the headline line last.
+
+Outage resilience: the axon TPU relay can be down for hours (CLAUDE.md).
+Before any benchmark runs, ``_wait_for_backend`` pings a tiny matmul with
+exponential backoff for up to BENCH_WAIT_S seconds (default 1800).  If the
+backend never answers — or any benchmark raises — main() prints ONE
+parseable ``{"metric": ..., "error": ...}`` JSON line and exits 0, so the
+driver always records a JSON object rather than a traceback (round-3
+failure mode: BENCH_r03.json rc=1).
 """
 
 from __future__ import annotations
@@ -34,6 +42,32 @@ import os
 import time
 
 import numpy as np
+
+
+def _wait_for_backend():
+    """Blocks until the JAX backend answers a tiny matmul (value-fetched),
+    retrying with backoff for up to BENCH_WAIT_S seconds (default 1800).
+
+    The axon relay can be down for hours; round 3 lost its entire perf
+    record because backend-init failure propagated as rc=1.  Returns None
+    on success, or an error string after the deadline.
+    """
+    deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", "1800"))
+    delay, last_err = 10.0, "unknown"
+    while True:
+        try:
+            import jax
+            import jax.numpy as jnp
+            x = jnp.ones((128, 128), jnp.float32)
+            s = float(jax.device_get(jnp.sum(x @ x)))
+            assert s == 128.0 * 128 * 128
+            return None
+        except Exception as e:  # backend init / relay outage
+            last_err = f"{type(e).__name__}: {e}"
+        if time.time() >= deadline:
+            return f"backend unavailable after BENCH_WAIT_S: {last_err[:300]}"
+        time.sleep(min(delay, max(0.0, deadline - time.time())))
+        delay = min(delay * 1.7, 120.0)
 
 
 def _bench_device(fn, fetch, reps):
@@ -574,6 +608,11 @@ _MODES = {
 
 def main():
     model = os.environ.get("BENCH_MODEL", "bpr")
+    err = _wait_for_backend()
+    if err is not None:
+        print(json.dumps({"metric": f"{model}_interactions_per_sec",
+                          "error": err}))
+        return
     if model == "all":
         results = {}
         for name, fn in _MODES.items():
@@ -585,7 +624,11 @@ def main():
             json.dump(results, f, indent=1)
         print(json.dumps(results["bpr"]))
         return
-    print(json.dumps(_MODES[model]()))
+    try:
+        print(json.dumps(_MODES[model]()))
+    except Exception as e:  # never emit a raw traceback to the driver
+        print(json.dumps({"metric": f"{model}_interactions_per_sec",
+                          "error": f"{type(e).__name__}: {str(e)[:400]}"}))
 
 
 if __name__ == "__main__":

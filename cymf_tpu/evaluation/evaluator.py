@@ -340,7 +340,10 @@ class Evaluator:
         groups (user dim sharded over the mesh when multi-device), the
         rejection hash set and propensities replicated."""
         n = mesh.num_devices
-        if self._device_state is None or self._device_state["n"] != n:
+        # keyed on the MeshContext itself, not just the device count:
+        # arrays committed to a previous same-size mesh must not leak
+        # into a new mesh's shard_map (ADVICE r3)
+        if self._device_state is None or self._device_state["mesh"] != mesh:
             up = self.user_positives.tocoo()
             put_rep = mesh.put_replicated if n > 1 else jnp.asarray
             if n > 1:
@@ -354,7 +357,7 @@ class Evaluator:
             else:
                 put2 = put3 = jnp.asarray
             self._device_state = dict(
-                n=n,
+                n=n, mesh=mesh,
                 groups=[(put2(u), put3(p), put3(v), jnp.asarray(c))
                         for u, p, v, c in self._group_chunks(n)],
                 hs=jax.tree_util.tree_map(

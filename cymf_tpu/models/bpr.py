@@ -80,7 +80,11 @@ def _restore_opt_state(flat, native_prefix, other_prefix, template,
         if nk in flat:
             arr = np.asarray(flat[nk])
             if arr.shape != np.shape(tleaf):
-                if repad is None:
+                # repad only heals ROW-count mismatches (same layout,
+                # different mesh/device padding); any trailing-dim
+                # difference is a genuinely different layout/version
+                if repad is None or arr.ndim != np.ndim(tleaf) \
+                        or arr.shape[1:] != np.shape(tleaf)[1:]:
                     raise ValueError(
                         f"checkpoint leaf {nk!r} has shape {arr.shape}, "
                         f"expected {np.shape(tleaf)} — written by an "

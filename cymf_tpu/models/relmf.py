@@ -197,6 +197,13 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         Wd = self._pad_table(self.W)
         Hd = self._pad_table(self.H)
         B = mesh.pad_rows(self.batch_size)
+        if B != self.batch_size:
+            import warnings
+            warnings.warn(
+                f"batch_size={self.batch_size} padded to {B} (multiple of "
+                f"{mesh.num_devices} devices): the drawn cell stream and "
+                "samples_per_epoch differ from a device count where no "
+                "padding is needed", stacklevel=2)
         num_steps = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
         self._samples_per_epoch = num_steps * B
         from .bpr import choose_update_mode

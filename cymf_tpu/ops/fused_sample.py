@@ -262,8 +262,6 @@ def bpr_sample_phase_v5(Wp, wstart, rowsw, Di, Dj_dec, *, K: int, wd: float,
     kern = functools.partial(_bpr_sample_kernel_v5, K=int(K), s=s, cb=cb,
                              wd=float(wd), tile=tile, wrows_a=wrows_a,
                              interpret=interpret)
-    sample_spec = pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
-                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nT,),
