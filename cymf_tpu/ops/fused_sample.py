@@ -266,7 +266,7 @@ def bpr_sample_phase_v5(Wp, wstart, rowsw, Di, Dj_dec, *, K: int, wd: float,
         num_scalar_prefetch=1,
         grid=(nT,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
-                  pl.BlockSpec(memory_space=pl.ANY),       # Wp
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Wp
                   pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),
                                memory_space=pltpu.VMEM),   # Di
                   pl.BlockSpec((tile, LANES), lambda t, w: (t, 0),

@@ -51,6 +51,12 @@ from . import packed as pk
 
 LANES = 128
 TILE = 1024
+# Mosaic's default scoped-VMEM stack limit is 16MB; the fused kernels'
+# vector temporaries (one-hot (wrows, tile) bf16 tiles + hi/lo splits)
+# need ~17-18MB at wrows=512/tile=1024.  v5e has 128MB of VMEM per
+# core; 64MB leaves ample room for the block/scratch buffers (measured
+# OOM: v6 16.73M, v7 17.09M — scripts/tpu_kernel_smoke.py, round 4).
+VMEM_LIMIT = 64 * 1024 * 1024
 # W rows covering one chunk's expansion: ceil(TILE/s) + 1 <= 257 at
 # s >= 4, rounded to a sublane multiple.
 CROWS = 264
@@ -404,12 +410,12 @@ def bpr_range_step_v7(rowsw, Du_dec, Hi, Dj, starts, counts, *, K: int,
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
-                  pl.BlockSpec(memory_space=pl.ANY),       # Du
-                  pl.BlockSpec(memory_space=pl.ANY),       # Hi
-                  pl.BlockSpec(memory_space=pl.ANY)],      # Dj
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Du
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Hi
+                  pl.BlockSpec(memory_space=pltpu.HBM)],      # Dj
         out_specs=[pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
                                 memory_space=pltpu.VMEM),  # Aw
-                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+                   pl.BlockSpec(memory_space=pltpu.HBM)],     # Q
         scratch_shapes=[
             pltpu.VMEM((tile, LANES), jnp.float32),        # du slabs
             pltpu.VMEM((tile, LANES), jnp.float32),
@@ -427,6 +433,8 @@ def bpr_range_step_v7(rowsw, Du_dec, Hi, Dj, starts, counts, *, K: int,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(starts, counts, rowsw, Du_dec, Hi, Dj)
 
@@ -570,12 +578,15 @@ def _kernel_v8(st_ref, ct_ref, rowsw, rjs, hpool, du_hbm, hi_hbm,
         aw_ref[:] += A
 
         # --- pool accumulation, home-masked (each sample counted once:
-        # only the window owning its packed W row accumulates it)
-        home = jnp.concatenate(
-            [((pr[a:a + 1, :] >= base)
+        # only the window owning its packed W row accumulates it).  The
+        # home predicate is folded into each (P, 128) piece BEFORE the
+        # lane concat: Mosaic cannot lower a concat of (1, 128) bf16
+        # pieces (sublane-offset mismatch — found on hardware, round 4)
+        hot_h = jnp.concatenate(
+            [((pj[a:a + 1, :] == p_iota)
+              & (pr[a:a + 1, :] >= base)
               & (pr[a:a + 1, :] < base + wrows)).astype(jnp.bfloat16)
-             for a in range(groups)], axis=1)             # (1, tile)
-        hot_h = hot_p * home
+             for a in range(groups)], axis=1)             # (P, tile)
         qhi = qv.astype(jnp.bfloat16)
         qlo = (qv - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
         Ap = jax.lax.dot_general(
@@ -648,13 +659,13 @@ def bpr_pool_step_v8(rowsw, rjs, Du_dec, Hi, Hpool, starts, counts, *,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # rjs
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # Hpool
-                  pl.BlockSpec(memory_space=pl.ANY),       # Du
-                  pl.BlockSpec(memory_space=pl.ANY)],      # Hi
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Du
+                  pl.BlockSpec(memory_space=pltpu.HBM)],      # Hi
         out_specs=[pl.BlockSpec((wrows, LANES), lambda w, *_: (w, 0),
                                 memory_space=pltpu.VMEM),  # Aw
                    pl.BlockSpec((P, LANES), lambda w, *_: (0, 0),
                                 memory_space=pltpu.VMEM),  # Apool
-                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+                   pl.BlockSpec(memory_space=pltpu.HBM)],     # Q
         scratch_shapes=[
             pltpu.VMEM((tile, LANES), jnp.float32),        # du slabs
             pltpu.VMEM((tile, LANES), jnp.float32),
@@ -671,6 +682,8 @@ def bpr_pool_step_v8(rowsw, rjs, Du_dec, Hi, Hpool, starts, counts, *,
         out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((P, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(starts, counts, rowsw, rjs, Hpool, Du_dec, Hi)
 
@@ -713,12 +726,12 @@ def bpr_block_step_v6(Wp, rowsw, Hi, Dj_dec, wstart, cs, cn, *, K: int,
         num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # rowsw
-                  pl.BlockSpec(memory_space=pl.ANY),       # Wp
-                  pl.BlockSpec(memory_space=pl.ANY),       # Hi
-                  pl.BlockSpec(memory_space=pl.ANY)],      # Dj
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Wp
+                  pl.BlockSpec(memory_space=pltpu.HBM),       # Hi
+                  pl.BlockSpec(memory_space=pltpu.HBM)],      # Dj
         out_specs=[pl.BlockSpec((wrows, LANES), lambda b, *_: (b, 0),
                                 memory_space=pltpu.VMEM),  # Aw
-                   pl.BlockSpec(memory_space=pl.ANY)],     # Q
+                   pl.BlockSpec(memory_space=pltpu.HBM)],     # Q
         scratch_shapes=[
             pltpu.VMEM((CROWS, LANES), jnp.float32),       # w slabs
             pltpu.VMEM((CROWS, LANES), jnp.float32),
@@ -737,5 +750,7 @@ def bpr_block_step_v6(Wp, rowsw, Hi, Dj_dec, wstart, cs, cn, *, K: int,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rw, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((B, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(cs, cn, wstart, rowsw, Wp, Hi, Dj_dec)

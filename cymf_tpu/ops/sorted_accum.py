@@ -101,7 +101,12 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
     slot index would force Mosaic to materialize a copy of the slab.
     """
     w = pl.program_id(0)
-    start = starts_ref[w]
+    # starts arrive PRE-DIVIDED by 128 (lane groups): multiplying back
+    # inside the kernel makes the DMA offset provably 128-divisible —
+    # Mosaic cannot prove divisibility of a raw runtime scalar and
+    # refuses the multi-granule (width > 128) memref_slice otherwise
+    # (found on hardware, round 4)
+    startg = starts_ref[w]
     count = counts_ref[w]
     base = w * wrows
     groups = tile // LANES
@@ -112,11 +117,11 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
 
     def dma(c, slot):
         return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(start + c * tile, tile), :],
+            g_hbm.at[pl.ds(startg * LANES + c * tile, tile), :],
             slots[slot], sems.at[slot])
 
     def process(c, g_ref):
-        rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
+        rblock = rows_vmem[pl.ds(startg + c * groups, groups), :]
         # one deep contraction per tile: the per-group one-hots concatenate
         # along lanes into (wrows, tile), then a single MXU dot against the
         # (tile, 128) gradient slab — contraction depth `tile` keeps the
@@ -195,17 +200,19 @@ def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
     for st_ref, ct_ref, rows_vmem, g_hbm, sign in (
             (si_ref, ci_ref, rows_i, gi_hbm, sv_neg),
             (sj_ref, cj_ref, rows_j, gj_hbm, None)):
-        start = st_ref[w]
+        # starts pre-divided by 128 — see _accum_kernel
+        startg = st_ref[w]
         count = ct_ref[w]
         nchunks = pl.cdiv(count, tile)
 
-        def dma(c, slot, start=start, g_hbm=g_hbm):
+        def dma(c, slot, startg=startg, g_hbm=g_hbm):
             return pltpu.make_async_copy(
-                g_hbm.at[pl.ds(start + c * tile, tile), :],
+                g_hbm.at[pl.ds(startg * LANES + c * tile, tile), :],
                 slots[slot], sems.at[slot])
 
-        def process(c, g_ref, start=start, rows_vmem=rows_vmem, sign=sign):
-            rblock = rows_vmem[pl.ds((start + c * tile) // LANES, groups), :]
+        def process(c, g_ref, startg=startg, rows_vmem=rows_vmem,
+                    sign=sign):
+            rblock = rows_vmem[pl.ds(startg + c * groups, groups), :]
             g32 = g_ref[...]
             if sign is not None:
                 g32 = g32 * sign
@@ -288,8 +295,8 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((wrows, width), lambda w, *_: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -305,7 +312,8 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
         out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts_i, counts_i, starts_j, counts_j, rows_i, rows_j, gi, gj)
+    )(starts_i // LANES, counts_i, starts_j // LANES, counts_j,
+      rows_i, rows_j, gi, gj)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
@@ -346,7 +354,7 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((wrows, width), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -362,7 +370,7 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
         out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, rows2d, g)
+    )(starts // LANES, counts, rows2d, g)
 
 
 def sorted_accum_reference(rows, g, r_pad: int):
