@@ -164,47 +164,92 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
             start_epoch = last_epoch + 1
             mu = self._state["mu"]
 
-        def epoch_fn(epoch):
-            nonlocal mu
-            st = self._state
-            W0, H0 = st["W"], st["H"]
-            W0U, H0I = W0[:U], H0[:I]
-            mu_term_items = (1.0 - mu[:I]) / mu[:I]         # [I]
+        a1 = a2 = 1.0  # Beta(1, 1) prior (expomf.pyx:113-114,142)
 
-            # user sweep (Y = H0) + colsum of epoch-start Exposure
-            colsum = jnp.zeros((I,), dtype)
-            W_new = st["W"]
-            for ch in user_chunks:
-                x, cs = _expomf_chunk(
-                    W0, H0I, H0I, mu_term_items, ch.rows,
-                    ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
-                    solver=self.solver, num_real_rows=U)
-                W_new = W_new.at[ch.rows].set(x, mode="drop",
-                                              unique_indices=True)
-                colsum = colsum + cs
-            st["W"] = W_new
-            W_newU = W_new[:U]
+        if mesh.num_devices > 1:
+            # explicit shard_map chunks: row-sharded tables, E blocks
+            # partitioned by the other-side axis, O(chunk) collectives
+            # (parallel/shard_step.py::sharded_expomf_chunk)
+            from ..parallel.shard_step import sharded_expomf_chunk
 
-            # item sweep: E from (W0, H0), normal equations over updated W
-            mu_term_pad = jnp.concatenate(
-                [mu_term_items, jnp.ones((Hd.shape[0] - I,), dtype)])
-            H_new = st["H"]
-            for ch in item_chunks:
-                mu_rows = mu_term_pad[jnp.clip(ch.rows, 0,
-                                               Hd.shape[0] - 1)]
-                x, _ = _expomf_chunk(
-                    H0, W0U, W_newU, mu_rows[:, None], ch.rows,
-                    ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
-                    solver=self.solver, num_real_rows=I)
-                H_new = H_new.at[ch.rows].set(x, mode="drop",
-                                              unique_indices=True)
-            st["H"] = H_new
+            @functools.lru_cache(maxsize=None)
+            def _sharded_fn(mu_axis, n_rows, n_cols):
+                return sharded_expomf_chunk(
+                    mesh, self.lam_y, self.weight_decay, self.prefactor,
+                    self.num_components, self.solver, mu_axis, n_rows,
+                    n_cols)
 
-            # mu update with Beta(1,1) prior (expomf.pyx:113-114,142)
-            a1 = a2 = 1.0
-            mu_new = (a1 + colsum - 1.0) / (a1 + a2 + U - 2.0)
-            mu = mu.at[:I].set(mu_new)
-            self._state["mu"] = mu
+            def epoch_fn(epoch):
+                nonlocal mu
+                st = self._state
+                W0, H0 = st["W"], st["H"]
+                Ipad = Hd.shape[0]
+                iota_i = jnp.arange(Ipad)
+                mu_term_pad = jnp.where(iota_i < I,
+                                        (1.0 - mu) / mu, 1.0)  # [Ipad]
+
+                fn_u = _sharded_fn("col", U, I)
+                colsum = jnp.zeros((Ipad,), dtype)
+                W_new = st["W"]
+                for ch in user_chunks:
+                    W_new, cs = fn_u(W0, H0, H0, mu_term_pad, W_new,
+                                     ch.rows, ch.idx_pad, ch.valid)
+                    colsum = colsum + cs
+                st["W"] = W_new
+
+                fn_i = _sharded_fn("row", I, U)
+                H_new = st["H"]
+                for ch in item_chunks:
+                    mu_rows = mu_term_pad[jnp.clip(ch.rows, 0, Ipad - 1)]
+                    H_new, _ = fn_i(H0, W0, W_new, mu_rows, H_new,
+                                    ch.rows, ch.idx_pad, ch.valid)
+                st["H"] = H_new
+
+                mu_new = (a1 + colsum - 1.0) / (a1 + a2 + U - 2.0)
+                mu = jnp.where(iota_i < I, mu_new, mu)
+                self._state["mu"] = mu
+        else:
+            def epoch_fn(epoch):
+                nonlocal mu
+                st = self._state
+                W0, H0 = st["W"], st["H"]
+                W0U, H0I = W0[:U], H0[:I]
+                mu_term_items = (1.0 - mu[:I]) / mu[:I]     # [I]
+
+                # user sweep (Y = H0) + colsum of epoch-start Exposure
+                colsum = jnp.zeros((I,), dtype)
+                W_new = st["W"]
+                for ch in user_chunks:
+                    x, cs = _expomf_chunk(
+                        W0, H0I, H0I, mu_term_items, ch.rows,
+                        ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
+                        solver=self.solver, num_real_rows=U)
+                    W_new = W_new.at[ch.rows].set(x, mode="drop",
+                                                  unique_indices=True)
+                    colsum = colsum + cs
+                st["W"] = W_new
+                W_newU = W_new[:U]
+
+                # item sweep: E from (W0, H0), normal equations over the
+                # updated W
+                mu_term_pad = jnp.concatenate(
+                    [mu_term_items, jnp.ones((Hd.shape[0] - I,), dtype)])
+                H_new = st["H"]
+                for ch in item_chunks:
+                    mu_rows = mu_term_pad[jnp.clip(ch.rows, 0,
+                                                   Hd.shape[0] - 1)]
+                    x, _ = _expomf_chunk(
+                        H0, W0U, W_newU, mu_rows[:, None], ch.rows,
+                        ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
+                        solver=self.solver, num_real_rows=I)
+                    H_new = H_new.at[ch.rows].set(x, mode="drop",
+                                                  unique_indices=True)
+                st["H"] = H_new
+
+                # mu update (expomf.pyx:113-114,142)
+                mu_new = (a1 + colsum - 1.0) / (a1 + a2 + U - 2.0)
+                mu = mu.at[:I].set(mu_new)
+                self._state["mu"] = mu
 
         def snapshot_fn():
             return (self.W, self.H)
@@ -220,8 +265,5 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
         self._finalize_fit()
 
     def _device_chunks(self, chunks: List[AlsChunk]) -> List[AlsChunk]:
-        put = self.mesh.put_replicated
-        return [AlsChunk(put(jnp.asarray(c.rows)), put(jnp.asarray(c.idx_pad)),
-                         put(jnp.asarray(c.valid)),
-                         put(jnp.asarray(c.weights)))
-                for c in chunks]
+        from ..ops.als import place_device_chunks
+        return place_device_chunks(self.mesh, chunks)

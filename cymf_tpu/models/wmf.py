@@ -137,35 +137,5 @@ class WMF(MFTrainerBase, PersistenceMixin):
         self._finalize_fit()
 
     def _device_chunks(self, chunks: List[AlsChunk]) -> List[AlsChunk]:
-        """Place chunk arrays: replicated on one device; on a mesh, the
-        chunk row dim is sharded (the shard_map solve partitions systems
-        over devices) after padding C to a mesh multiple with sentinel
-        (dropped) rows."""
-        mesh = self.mesh
-        n = mesh.num_devices
-        if n == 1:
-            return [AlsChunk(jnp.asarray(c.rows), jnp.asarray(c.idx_pad),
-                             jnp.asarray(c.valid), jnp.asarray(c.weights))
-                    for c in chunks]
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import ROW_AXIS
-        sh2 = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
-        rep = mesh.put_replicated
-        out = []
-        for c in chunks:
-            C = len(c.rows)
-            Cp = -(-C // n) * n
-            pad = Cp - C
-            # sentinel pad rows: never owned by any shard, valid all-False
-            rows = np.pad(c.rows, (0, pad),
-                          constant_values=np.int32(2**31 - 1))
-            out.append(AlsChunk(
-                rep(jnp.asarray(rows)),
-                jax.device_put(jnp.asarray(
-                    np.pad(c.idx_pad, ((0, pad), (0, 0)))), sh2),
-                jax.device_put(jnp.asarray(
-                    np.pad(c.valid, ((0, pad), (0, 0)))), sh2),
-                rep(jnp.asarray(np.pad(c.weights, ((0, pad), (0, 0)))))))
-        return out
+        from ..ops.als import place_device_chunks
+        return place_device_chunks(self.mesh, chunks)

@@ -140,3 +140,37 @@ def weighted_chunk_solve(Y, A0, idx_pad, valid, entry_weights, *,
     x = _SOLVERS[solver](A, b)
     nonempty = jnp.any(valid, axis=1, keepdims=True)
     return jnp.where(nonempty, x, 0.0)
+
+
+def place_device_chunks(mesh, chunks: List[AlsChunk]) -> List[AlsChunk]:
+    """Device placement for ALS chunks: replicated on one device; on a
+    mesh the chunk-row dim of ``idx_pad``/``valid`` is sharded (the
+    shard_map solves partition systems over devices) after padding C to
+    a mesh multiple with sentinel rows (never owned, valid all-False).
+    ``rows``/``weights`` stay replicated (the scatter targets them from
+    every shard)."""
+    n = mesh.num_devices
+    if n == 1:
+        return [AlsChunk(jnp.asarray(c.rows), jnp.asarray(c.idx_pad),
+                         jnp.asarray(c.valid), jnp.asarray(c.weights))
+                for c in chunks]
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import ROW_AXIS
+    sh2 = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+    rep = mesh.put_replicated
+    out = []
+    for c in chunks:
+        C = len(c.rows)
+        Cp = -(-C // n) * n
+        pad = Cp - C
+        rows = np.pad(c.rows, (0, pad), constant_values=np.int32(2**31 - 1))
+        out.append(AlsChunk(
+            rep(jnp.asarray(rows)),
+            jax.device_put(jnp.asarray(
+                np.pad(c.idx_pad, ((0, pad), (0, 0)))), sh2),
+            jax.device_put(jnp.asarray(
+                np.pad(c.valid, ((0, pad), (0, 0)))), sh2),
+            rep(jnp.asarray(np.pad(c.weights, ((0, pad), (0, 0)))))))
+    return out

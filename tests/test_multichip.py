@@ -196,3 +196,39 @@ def test_evaluator_sharded_medium_nondivisible():
     r8 = run(jax.devices())
     for key in r1:
         np.testing.assert_allclose(r8[key], r1[key], rtol=1e-6, atol=1e-7)
+
+
+def test_expomf_same_result_1dev_vs_8dev(data):
+    from cymf_tpu import ExpoMF
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = ExpoMF(num_components=8, chunk_size=32)
+            m.fit(data.train, num_epochs=2, verbose=False)
+            return m.W.copy(), m.H.copy(), m.mu.copy()
+
+    W1, H1, mu1 = run(jax.devices()[:1])
+    W8, H8, mu8 = run(jax.devices())
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(mu8, mu1, rtol=2e-3, atol=2e-6)
+
+
+def test_expomf_nondivisible_shapes_1dev_vs_8dev():
+    """Rows/items NOT multiples of the device count: table padding, chunk
+    sentinel padding and the mu column mask must all compose."""
+    from cymf_tpu import ExpoMF
+    d = SyntheticImplicitDataset(num_user=101, num_item=67, rank=4,
+                                 density=0.15, seed=5)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = ExpoMF(num_components=8, chunk_size=24)
+            m.fit(d.train, num_epochs=2, verbose=False)
+            return m.W.copy(), m.H.copy(), m.mu.copy()
+
+    W1, H1, mu1 = run(jax.devices()[:1])
+    W8, H8, mu8 = run(jax.devices())
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(mu8, mu1, rtol=2e-3, atol=2e-6)

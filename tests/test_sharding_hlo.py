@@ -350,3 +350,58 @@ def test_wmf_sharded_no_table_collectives_and_flops_shrink():
     f1 = _wmf_compiled(1).cost_analysis()["flops"]
     f8 = c8.cost_analysis()["flops"]
     assert f8 < 0.55 * f1, (f1, f8)
+
+
+# ExpoMF proof shapes: other-side table (EI2 x EKC) much bigger than the
+# chunk exchange (EC*EP_*EKC + EC*EKC^2 elements), so a table-sized
+# collective is distinguishable from the legitimate O(chunk) comm.
+EU2, EI2 = 65536, 32768
+EC, EP_, EKC = 512, 64, 16
+
+
+def _expomf_compiled(n_devices):
+    from cymf_tpu.models.expomf import _expomf_chunk
+    from cymf_tpu.parallel.shard_step import sharded_expomf_chunk
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    W0 = mesh.put_table(jnp.asarray(rng.normal(size=(EU2, EKC)) * 0.01,
+                                    jnp.float32))
+    H0 = mesh.put_table(jnp.asarray(rng.normal(size=(EI2, EKC)) * 0.01,
+                                    jnp.float32))
+    T = mesh.put_table(jnp.asarray(rng.normal(size=(EU2, EKC)),
+                                   jnp.float32))
+    mu_term = jnp.full((EI2,), 99.0, jnp.float32)
+    rows = mesh.put_replicated(
+        jnp.asarray(rng.permutation(EU2)[:EC], jnp.int32))
+    idx = jnp.asarray(rng.integers(0, EI2, (EC, EP_)), jnp.int32)
+    valid = jnp.asarray(rng.random((EC, EP_)) < 0.7)
+    if n_devices == 1:
+        def solve_and_scatter(W0, H0, mu_term, T, rows, idx, valid):
+            x, cs = _expomf_chunk(
+                W0, H0, H0, mu_term, rows, idx, valid,
+                jnp.float32(1.0), 0.01 * jnp.eye(EKC, dtype=jnp.float32),
+                jnp.float32(0.4), solver="cholesky", num_real_rows=EU2)
+            return T.at[rows].set(x, mode="drop",
+                                  unique_indices=True), cs
+        fn = jax.jit(solve_and_scatter)
+        return fn.lower(W0, H0, mu_term, T, rows, idx, valid).compile()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cymf_tpu.parallel.mesh import ROW_AXIS
+    sh2 = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+    idx = jax.device_put(idx, sh2)
+    valid = jax.device_put(valid, sh2)
+    mu_term = jax.device_put(mu_term,
+                             NamedSharding(mesh.mesh, P(ROW_AXIS)))
+    fn = sharded_expomf_chunk(mesh, 1.0, 0.01, 0.4, EKC, "cholesky",
+                              "col", EU2, EI2)
+    return fn.lower(W0, H0, H0, mu_term, T, rows, idx, valid).compile()
+
+
+def test_expomf_sharded_no_table_collectives_and_flops_shrink():
+    assert len(jax.devices()) >= 8
+    c8 = _expomf_compiled(8)
+    _assert_no_table_collectives(c8.as_text(), EI2 * EKC)
+    f1 = _expomf_compiled(1).cost_analysis()["flops"]
+    f8 = c8.cost_analysis()["flops"]
+    assert f8 < 0.55 * f1, (f1, f8)
