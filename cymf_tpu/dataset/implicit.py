@@ -66,6 +66,31 @@ class ImplicitFeedbackDataset:
             shape=(self.num_user, self.num_item))
         return m.tolil()
 
+    def to_dataframe(self, matrix) -> pd.DataFrame:
+        """Matrix -> long-form ``(user, item, rating)`` frame.
+
+        API parity with the reference's helper
+        (`/root/reference/cymf/dataset/implicit.py:47-51`), including its
+        quirk: the filter is ``rating >= 0``, so ZERO cells are kept and
+        the frame enumerates every (user, item) cell unless a rating is
+        negative.  Built vectorized from a dense view (the reference
+        stacks ``matrix.toarray()`` too, so the memory profile matches).
+        """
+        dense = np.asarray(
+            matrix.toarray() if sparse.issparse(matrix) else matrix)
+        U, I = dense.shape
+        df = pd.DataFrame({
+            "user": np.repeat(np.arange(U), I),
+            "item": np.tile(np.arange(I), U),
+            "rating": dense.ravel(),
+        })
+        return df[df["rating"] >= 0]
+
+    def split(self, df: pd.DataFrame):
+        """Frame -> ``(user, item, rating[:, None])`` arrays
+        (`/root/reference/cymf/dataset/implicit.py:53-54`)."""
+        return (df.user.values, df.item.values, df.rating.values[:, None])
+
     def _finalize(self):
         self.train_size = self.train.nnz
         self.valid_size = self.valid.nnz

@@ -79,6 +79,17 @@ def _sharded_glove_epoch_jit(mesh, lr: float, x_max: float, alpha: float,
     return opt, sharded_glove_epoch(mesh, opt, x_max, alpha, K, num_central)
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_glove_kfold_epoch_jit(mesh, lr: float, x_max: float,
+                                   alpha: float, K: int, num_central: int):
+    """Cached jitted shard_map epoch for the reference-exact kfold bias
+    mode (parallel/shard_step.py::sharded_glove_kfold_epoch)."""
+    from ..parallel.shard_step import sharded_glove_kfold_epoch
+    opt = AdaGrad(lr)
+    return opt, sharded_glove_kfold_epoch(mesh, opt, x_max, alpha, K,
+                                          num_central)
+
+
 @functools.lru_cache(maxsize=64)
 def _glove_epoch_jit(lr: float, x_max: float, alpha: float, K: int,
                      num_central: int, mode: str, bias_mode: str):
@@ -284,14 +295,12 @@ class GloVe:
                 Wc, Wx, ow, oh, loss = sh_fn(Wc, Wx, ow, oh, c_st, x_st,
                                              n_st, nv)
                 return Wc, Wx, bc, bx, ow, oh, abc, abx, loss
+        elif mesh.num_devices > 1:
+            # reference-exact kfold bias rule, explicitly partitioned
+            # (parallel/shard_step.py::sharded_glove_kfold_epoch)
+            opt, epoch_jit = _sharded_glove_kfold_epoch_jit(
+                mesh, self.learning_rate, self.x_max, self.alpha, K, V1)
         else:
-            if mesh.num_devices > 1:
-                import warnings
-                warnings.warn(
-                    "bias_mode='kfold' has no explicit shard_map epoch; "
-                    "multi-device partitioning is compiler-inferred (use "
-                    "bias_mode='fused' for the proven-partitioned path)",
-                    stacklevel=2)
             opt, epoch_jit = _glove_epoch_jit(
                 self.learning_rate, self.x_max, self.alpha, K, V1, mode,
                 self.bias_mode)

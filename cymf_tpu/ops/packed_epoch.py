@@ -429,7 +429,13 @@ def engine_version(K: int, rw: int, wrows_w: int, u2=None,
     stream; without it only the static gates apply (shape-only
     callers).  Env overrides: ``CYMF_TPU_PACKED_KERNEL=4|5|6|7`` forces
     (5/6/7 still subject to their correctness gates),
-    ``CYMF_TPU_PACKED_V6=0`` disables v6."""
+    ``CYMF_TPU_PACKED_V6=0`` disables v6.
+
+    Round-4 hardware measurement: on sparse streams (where v5/v6 gates
+    fail) v4 BEATS v7 at the ML-20M headline — 39.6M vs 37.4M int/s
+    (docs/measurements/r4) — so v7 is now selected only when forced;
+    the fusion saves the SW HBM round-trip but repays it re-streaming
+    straddle chunks per window."""
     import os
     s = pk.num_slots(K)
     forced = os.environ.get("CYMF_TPU_PACKED_KERNEL", "")
@@ -449,7 +455,7 @@ def engine_version(K: int, rw: int, wrows_w: int, u2=None,
             and wrows_a >= min(-(-SAMPLE_TILE // s) + 1, rw) and (
             pu2 is None or _spans_fit(pu2, SAMPLE_TILE, wrows_a, rw)):
         return 5
-    if forced != "4" and supports_v7(K, rw, wrows_w):
+    if forced == "7" and supports_v7(K, rw, wrows_w):
         return 7
     return 4
 

@@ -494,3 +494,121 @@ def sharded_expomf_chunk(mesh_ctx, lam_y: float, weight_decay: float,
         return fn(E_src, E_other, Y, mu_term, T, rows, idx_pad, valid)
 
     return jax.jit(chunk)
+
+
+def sharded_glove_kfold_epoch(mesh_ctx, optimizer, x_max, alpha,
+                              num_components, num_central):
+    """Explicit shard_map GloVe epoch for ``bias_mode="kfold"`` — the
+    reference-exact bias rule (`/root/reference/cymf/model.pyx:195-204`
+    emits the bias gradient once per latent dimension: K consecutive
+    AdaGrad updates per sample, applied here in closed form exactly as
+    ``models.glove._bias_kfold_update``).
+
+    Layout: K-wide embedding tables + separate (V, 1) bias/accumulator
+    columns, all row-sharded; the co-occurrence batch sharded over
+    devices.  The bias dedup runs on the ALL-GATHERED (tiny) row/grad
+    streams identically on every device, and each device applies the
+    closed-form update only to the bias rows it owns — bit-comparable
+    with the single-device path.  Returns
+    ``fn(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps_T, x_steps_T,
+    n_counts_T, n_valid)``.
+    """
+    from ..ops.segment import dedup_rows
+
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    K = num_components
+    lr = optimizer.learning_rate
+
+    def epoch(Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps, x_steps,
+              n_counts, n_valid):
+        Cpad = Wc.shape[0]
+        Xpad = Wx.shape[0]
+        rpd_c = Cpad // n
+        rpd_x = Xpad // n
+
+        def bias_kfold_local(bias_s, accum_s, rows_all, g_all, rpd,
+                             drop_global, presorted):
+            rows_d, g_d = dedup_rows(rows_all, g_all[:, None],
+                                     drop_global, presorted=presorted)
+            lrows = _owned_rows(rows_d, rpd)
+            crows = jnp.clip(lrows, 0, rpd - 1)
+            a0 = accum_s[crows]                             # (B, 1)
+            t = jnp.arange(1, K + 1, dtype=bias_s.dtype)
+            denom = jnp.sqrt(a0 + t[None, :] * jnp.square(g_d))
+            delta = -lr * g_d[:, :1] * jnp.sum(1.0 / denom, axis=1,
+                                               keepdims=True)
+            accum_s = accum_s.at[lrows].set(
+                a0 + K * jnp.square(g_d[:, :1]), mode="drop",
+                unique_indices=True)
+            bias_s = bias_s.at[lrows].add(delta, mode="drop",
+                                          unique_indices=True)
+            return bias_s, accum_s
+
+        def device_epoch(Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s,
+                         abx_s, c_st, x_st, n_st):
+            def step(carry, xs):
+                (Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s, abx_s,
+                 loss_acc) = carry
+                c_loc, x_loc, cnt = xs
+                mf = (c_loc < num_central).astype(Wc_s.dtype)
+
+                c_all = jax.lax.all_gather(c_loc, ROW_AXIS, tiled=True)
+                x_all = jax.lax.all_gather(x_loc, ROW_AXIS, tiled=True)
+                wc = _resolve_rows(Wc_s, c_all, rpd_c)
+                hx = _resolve_rows(Wx_s, x_all, rpd_x)
+                bcv = _resolve_rows(bc_s, c_all, rpd_c)[:, 0]
+                bxv = _resolve_rows(bx_s, x_all, rpd_x)[:, 0]
+
+                f = jnp.minimum(jnp.power(cnt / x_max, alpha), 1.0)
+                diff = (jnp.sum(wc * hx, axis=1) + bcv + bxv
+                        - jnp.log(cnt))
+                loss = 0.5 * f * jnp.square(diff) * mf
+                fd = (f * diff * mf)[:, None]
+                g_c = fd * hx
+                g_x = fd * wc
+
+                gc_all = jax.lax.all_gather(g_c, ROW_AXIS, tiled=True)
+                gx_all = jax.lax.all_gather(g_x, ROW_AXIS, tiled=True)
+                Wc_s, ow_s = optimizer.update_dense(
+                    Wc_s, ow_s, [(_owned_rows(c_all, rpd_c), gc_all)])
+                Wx_s, oh_s = optimizer.update_dense(
+                    Wx_s, oh_s, [(_owned_rows(x_all, rpd_x), gx_all)])
+
+                fd_all = jax.lax.all_gather(fd[:, 0], ROW_AXIS,
+                                            tiled=True)
+                # the host pre-sorts each batch by central word and
+                # sharding slices it contiguously, so the gathered
+                # stream is globally sorted (presorted dedup fast path)
+                bc_s, abc_s = bias_kfold_local(
+                    bc_s, abc_s, c_all, fd_all, rpd_c, Cpad,
+                    presorted=True)
+                bx_s, abx_s = bias_kfold_local(
+                    bx_s, abx_s, x_all, fd_all, rpd_x, Xpad,
+                    presorted=False)
+                loss_sum = jax.lax.psum(jnp.sum(loss), ROW_AXIS)
+                return (Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s,
+                        abx_s, loss_acc + loss_sum), None
+
+            init = (Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s, abx_s,
+                    jnp.zeros((), Wc_s.dtype))
+            (Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s, abx_s,
+             loss), _ = jax.lax.scan(step, init,
+                                     (c_st.T, x_st.T, n_st.T))
+            return (Wc_s, Wx_s, bc_s, bx_s, ow_s, oh_s, abc_s, abx_s,
+                    loss)
+
+        table = P(ROW_AXIS, None)
+        batch = P(ROW_AXIS, None)  # (B, S): samples sharded
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table,) * 8 + (batch, batch, batch),
+            out_specs=(table,) * 8 + (rep,), check_vma=False)
+        Wc, Wx, bc, bx, ow, oh, abc, abx, loss = fn(
+            Wc, Wx, bc, bx, ow, oh, abc, abx, c_steps.T, x_steps.T,
+            n_counts.T)
+        return Wc, Wx, bc, bx, ow, oh, abc, abx, loss / jnp.maximum(
+            n_valid, 1).astype(Wc.dtype)
+
+    return jax.jit(epoch, donate_argnums=tuple(range(8)))

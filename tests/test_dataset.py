@@ -122,3 +122,38 @@ def test_provision_script_structural_verify(tmp_path, monkeypatch):
     (d / "u.data").write_text("1\t1\t5\t0\n" * 99_999)
     out = run("ml-100k")
     assert out.returncode == 1 and "99999 lines" in out.stdout
+
+
+class TestDatasetBaseHelpers:
+    """API parity for the reference's small public helpers
+    (`implicit.py:47-54`) — original vectorized implementations."""
+
+    def _ds(self):
+        from cymf_tpu.dataset.implicit import ImplicitFeedbackDataset
+        d = ImplicitFeedbackDataset.__new__(ImplicitFeedbackDataset)
+        d.num_user, d.num_item = 4, 3
+        return d
+
+    def test_to_dataframe_roundtrip(self):
+        from scipy import sparse as sp
+        d = self._ds()
+        m = sp.lil_matrix((4, 3))
+        m[0, 1] = 5.0
+        m[2, 2] = 3.0
+        df = d.to_dataframe(m)
+        # reference quirk: rating >= 0 keeps zero cells too
+        assert len(df) == 12
+        assert set(df.columns) == {"user", "item", "rating"}
+        assert df[(df.user == 0) & (df.item == 1)].rating.item() == 5.0
+        # to_matrix(to_dataframe(m)) == m on the nonzero support
+        m2 = d.to_matrix(df)
+        assert (m2.toarray() == m.toarray()).all()
+
+    def test_split(self):
+        import pandas as pd
+        d = self._ds()
+        df = pd.DataFrame({"user": [0, 2], "item": [1, 2],
+                           "rating": [5.0, 3.0]})
+        u, i, r = d.split(df)
+        assert u.tolist() == [0, 2] and i.tolist() == [1, 2]
+        assert r.shape == (2, 1) and r[:, 0].tolist() == [5.0, 3.0]

@@ -232,3 +232,26 @@ def test_expomf_nondivisible_shapes_1dev_vs_8dev():
     np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(mu8, mu1, rtol=2e-3, atol=2e-6)
+
+
+def test_glove_kfold_same_result_1dev_vs_8dev():
+    """The reference-exact kfold bias mode through its round-4 explicit
+    shard_map epoch must equal single-device training."""
+    from scipy import sparse
+    from cymf_tpu import GloVe
+    rng = np.random.default_rng(4)
+    dense = np.triu(rng.integers(0, 20, (24, 24))
+                    * (rng.random((24, 24)) < 0.3))
+    X = sparse.csr_matrix(dense)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            np.random.seed(11)
+            m = GloVe(num_components=8, batch_size=64, bias_mode="kfold")
+            m.fit(X, num_epochs=5)
+            return m.W.copy(), m.bias.copy()
+
+    W1, b1 = run(jax.devices()[:1])
+    W8, b8 = run(jax.devices())
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(b8, b1, rtol=2e-3, atol=2e-5)

@@ -405,3 +405,45 @@ def test_expomf_sharded_no_table_collectives_and_flops_shrink():
     f1 = _expomf_compiled(1).cost_analysis()["flops"]
     f8 = c8.cost_analysis()["flops"]
     assert f8 < 0.55 * f1, (f1, f8)
+
+
+def _glove_kfold_compiled(n_devices):
+    from cymf_tpu.models.glove import (_glove_epoch_jit,
+                                       _sharded_glove_kfold_epoch_jit)
+
+    mesh = MeshContext.create(jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    Wc = mesh.put_table(jnp.asarray(rng.normal(size=(MU, MK)),
+                                    jnp.float32))
+    Wx = mesh.put_table(jnp.asarray(rng.normal(size=(MI, MK)),
+                                    jnp.float32))
+    bc = mesh.put_table(jnp.asarray(rng.normal(size=(MU, 1)), jnp.float32))
+    bx = mesh.put_table(jnp.asarray(rng.normal(size=(MI, 1)), jnp.float32))
+    c = jax.device_put(jnp.asarray(rng.integers(0, MU, (MSTEPS, MB)),
+                                   jnp.int32), mesh.batch2d())
+    x = jax.device_put(jnp.asarray(rng.integers(0, MI, (MSTEPS, MB)),
+                                   jnp.int32), mesh.batch2d())
+    cnt = jax.device_put(jnp.asarray(
+        rng.integers(1, 40, (MSTEPS, MB)).astype(np.float32)),
+        mesh.batch2d())
+    nv = jnp.asarray(MSTEPS * MB, jnp.int32)
+    if n_devices == 1:
+        opt, fn = _glove_epoch_jit(0.01, 10.0, 0.75, MK, MU, "dense",
+                                   "kfold")
+        ow, oh = opt.init(Wc), opt.init(Wx)
+        return fn.lower(Wc, Wx, bc, bx, ow, oh, jnp.ones_like(bc),
+                        jnp.ones_like(bx), c, x, cnt, nv).compile()
+    opt, fn = _sharded_glove_kfold_epoch_jit(mesh, 0.01, 10.0, 0.75, MK,
+                                             MU)
+    ow, oh = opt.init(Wc), opt.init(Wx)
+    return fn.lower(Wc, Wx, bc, bx, ow, oh, jnp.ones_like(bc),
+                    jnp.ones_like(bx), c, x, cnt, nv).compile()
+
+
+def test_glove_kfold_sharded_no_table_collectives_and_flops_shrink():
+    assert len(jax.devices()) >= 8
+    c8 = _glove_kfold_compiled(8)
+    _assert_no_table_collectives(c8.as_text(), MU * MK)
+    f1 = _glove_kfold_compiled(1).cost_analysis()["flops"]
+    f8 = c8.cost_analysis()["flops"]
+    assert f8 < 0.55 * f1, (f1, f8)
