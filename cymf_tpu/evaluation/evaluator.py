@@ -368,9 +368,8 @@ class Evaluator:
         return self._device_state
 
     def evaluate(self, W, H, seed: int = 1234) -> dict:
-        if isinstance(self.k, int):
-            self.k = [self.k]
-        ks = tuple(int(k) for k in self.k)
+        ks = ((int(self.k),) if isinstance(self.k, int)
+              else tuple(int(k) for k in self.k))
         metric_names = tuple(self.metrics)
 
         from ..parallel.mesh import current_mesh
