@@ -229,7 +229,8 @@ def bench_bpr_wide():
     from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
                                            prep_epoch)
     from cymf_tpu.ops.wide_epoch import (pack_wide, prep_static_wide,
-                                         wide_bpr_epoch, wide_rows)
+                                         wide_bpr_epoch, wide_rows,
+                                         wide_sorted_masks)
 
     small = os.environ.get("BENCH_SMALL") == "1"
     U = int(os.environ.get("BENCH_USERS", "138493"))
@@ -255,6 +256,7 @@ def bench_bpr_wide():
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows)
+    mi2, mj2 = wide_sorted_masks(mask, si, sj)
 
     rng = np.random.default_rng(0)
     W = jnp.asarray(pack_wide(rng.uniform(-0.1, 0.1, (U, K)) / K, K, wrows))
@@ -263,7 +265,7 @@ def bench_bpr_wide():
     ow, oh = opt.init(W), opt.init(H)
     args = [jnp.asarray(x) for x in
             (u2, i2, rowsu, winw, si, rowsi, wini, j2, mask, sj, rowsj,
-             winj)]
+             winj, mi2, mj2)]
     n_valid = jnp.asarray(S * B, jnp.int32)
     interpret = jax.default_backend() != "tpu"
 

@@ -657,7 +657,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
         from ..ops.packed_epoch import make_packed_optimizer, prep_backend
         from ..ops.packed_epoch import prep_epoch
         from ..ops.wide_epoch import (kp_width, pack_wide, prep_static_wide,
-                                      wide_bpr_epoch, wide_rows)
+                                      wide_bpr_epoch, wide_rows,
+                                      wide_sorted_masks)
 
         self.prep_backend_ = prep_backend()
         U, I = X.shape
@@ -731,10 +732,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 rng, u2, i2, pos_keys, U, I, K, rh, wrows,
                 native_seed=seed * 1_000_003 + epoch,
                 key_filter=self._key_filter)
+            mi2, mj2 = wide_sorted_masks(mask, si, sj)
             Wd, Hd, ow, oh, self._last_loss_dev = wide_bpr_epoch(
                 Wd, Hd, ow, oh, u2d, i2d, rowsu_d, winw_d, si_d, rowsi_d,
                 wini_d, jnp.asarray(j2), jnp.asarray(mask),
                 jnp.asarray(sj), jnp.asarray(rowsj), jnp.asarray(winj),
+                jnp.asarray(mi2), jnp.asarray(mj2),
                 n_valid, opt_name=self.optimizer, lr=self.learning_rate,
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows=wrows, interpret=interpret)

@@ -91,7 +91,8 @@ def pad_samples(rows_sorted: np.ndarray, sentinel: int, tile: int = 1024):
 
 
 def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
-                  g_s0, g_s1, sems, *, wrows: int, tile: int, precision):
+                  g_s0, g_s1, sems, *, wrows: int, tile: int, precision,
+                  count_lanes: bool = False):
     """Per-window accumulation with double-buffered gradient DMA.
 
     The sorted row array is small (4 bytes/sample) and lives fully in VMEM;
@@ -120,6 +121,10 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
             g_hbm.at[pl.ds(startg * LANES + c * tile, tile), :],
             slots[slot], sems.at[slot])
 
+    lane0 = (jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 1)
+             == 0).astype(jnp.float32)
+    win = out_ref.shape[1] - LANES if count_lanes else out_ref.shape[1]
+
     def process(c, g_ref):
         rblock = rows_vmem[pl.ds(startg + c * groups, groups), :]
         # one deep contraction per tile: the per-group one-hots concatenate
@@ -127,29 +132,41 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
         # (tile, 128) gradient slab — contraction depth `tile` keeps the
         # systolic array full (8 separate 128-deep dots each paid MXU
         # latency and ran ~3x slower).
+        pieces = [rblock[a:a + 1, :] == w_iota for a in range(groups)]
         if precision == "split":
             # 0/1 one-hot entries are exact in bf16; splitting the f32
             # gradient slab into bf16 high + low halves makes the bf16
             # matmul near-exact (~2^-18 relative) at 2 MXU passes instead
             # of Precision.HIGHEST's 6.
             hot = jnp.concatenate(
-                [(rblock[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
-                 for a in range(groups)], axis=1)
+                [p.astype(jnp.bfloat16) for p in pieces], axis=1)
             g32 = g_ref[...]
             ghi = g32.astype(jnp.bfloat16)
             glo = (g32 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-            out_ref[:] += jax.lax.dot_general(
+            A = jax.lax.dot_general(
                 jnp.concatenate([hot, hot], axis=1),
                 jnp.concatenate([ghi, glo], axis=0),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
             hot = jnp.concatenate(
-                [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
-                 for a in range(groups)], axis=1)
-            out_ref[:] += jax.lax.dot_general(
+                [p.astype(jnp.float32) for p in pieces], axis=1)
+            A = jax.lax.dot_general(
                 hot, g_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
+        if count_lanes:
+            # per-row live count from the one-hot row-sums (VPU) — the
+            # caller routed masked samples to the sentinel row, so a
+            # match IS a live sample; the gradient stream then carries
+            # payload lanes only (128 fewer lanes of HBM traffic/sample)
+            cnt = pieces[0].astype(jnp.float32).sum(axis=1, keepdims=True)
+            for p in pieces[1:]:
+                cnt = cnt + p.astype(jnp.float32).sum(axis=1,
+                                                      keepdims=True)
+            out_ref[:, :win] += A
+            out_ref[:, win:] += cnt * lane0
+        else:
+            out_ref[:] += A
 
     @pl.when(nchunks > 0)
     def _():
@@ -180,7 +197,8 @@ def _accum_kernel(starts_ref, counts_ref, rows_vmem, g_hbm, out_ref,
 
 def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
                        gi_hbm, gj_hbm, out_ref, g_s0, g_s1, sems, *,
-                       wrows: int, tile: int, precision, neg_lanes: int):
+                       wrows: int, tile: int, precision, neg_lanes: int,
+                       count_lanes: bool = False):
     """Two sorted streams into ONE window buffer: the i (positive-item)
     stream accumulates with NEGATED payload lanes (< ``neg_lanes``) while
     its count lane still adds — the output is directly ``Aj - Ai`` with
@@ -192,8 +210,10 @@ def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
     groups = tile // LANES
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0) + base
-    width = out_ref.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    win = out_ref.shape[1] - LANES if count_lanes else out_ref.shape[1]
+    lane0 = (jax.lax.broadcasted_iota(jnp.int32, (wrows, LANES), 1)
+             == 0).astype(jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
     sv_neg = jnp.where(lanes < neg_lanes, jnp.float32(-1), jnp.float32(1))
     slots = (g_s0, g_s1)
 
@@ -216,25 +236,34 @@ def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
             g32 = g_ref[...]
             if sign is not None:
                 g32 = g32 * sign
+            pieces = [rblock[a:a + 1, :] == w_iota for a in range(groups)]
             if precision == "split":
                 hot = jnp.concatenate(
-                    [(rblock[a:a + 1, :] == w_iota).astype(jnp.bfloat16)
-                     for a in range(groups)], axis=1)
+                    [p.astype(jnp.bfloat16) for p in pieces], axis=1)
                 ghi = g32.astype(jnp.bfloat16)
                 glo = (g32 - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-                out_ref[:] += jax.lax.dot_general(
+                A = jax.lax.dot_general(
                     jnp.concatenate([hot, hot], axis=1),
                     jnp.concatenate([ghi, glo], axis=0),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             else:
                 hot = jnp.concatenate(
-                    [(rblock[a:a + 1, :] == w_iota).astype(jnp.float32)
-                     for a in range(groups)], axis=1)
-                out_ref[:] += jax.lax.dot_general(
+                    [p.astype(jnp.float32) for p in pieces], axis=1)
+                A = jax.lax.dot_general(
                     hot, g32, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision)
+            if count_lanes:
+                cnt = pieces[0].astype(jnp.float32).sum(axis=1,
+                                                        keepdims=True)
+                for p in pieces[1:]:
+                    cnt = cnt + p.astype(jnp.float32).sum(axis=1,
+                                                          keepdims=True)
+                out_ref[:, :win] += A
+                out_ref[:, win:] += cnt * lane0  # counts ADD both streams
+            else:
+                out_ref[:] += A
 
         @pl.when(nchunks > 0)
         def _():
@@ -265,17 +294,23 @@ def _accum_kernel_dual(si_ref, ci_ref, sj_ref, cj_ref, rows_i, rows_j,
 
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
                                              "interpret", "precision",
-                                             "neg_lanes"))
+                                             "neg_lanes", "count_lanes"))
 def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
                       counts_j, *, r_pad: int, neg_lanes: int,
                       wrows: int = 512, tile: int = 1024,
-                      interpret: bool = False, precision: str = "highest"):
+                      interpret: bool = False, precision: str = "highest",
+                      count_lanes: bool = False):
     """Fused two-stream accumulation: returns
     ``scatter(rows_j, gj) - scatter(rows_i, gi * [-1 on lanes < neg_lanes])``
     ... i.e. per output row, j contributions add, i contributions subtract
     on the payload lanes (< ``neg_lanes``) and ADD on the remaining lanes
     (the live-count channel).  Argument contracts are as
     :func:`sorted_accum`, once per stream.
+
+    ``count_lanes=True``: the gradient streams carry PAYLOAD ONLY and the
+    per-row live counts (both streams adding) are computed in-kernel from
+    the one-hot row-sums, landing on lane ``width`` of a
+    ``(r_pad, width + 128)`` output — see :func:`sorted_accum`.
     """
     if r_pad % wrows:
         raise ValueError("r_pad must be a multiple of wrows")
@@ -289,6 +324,7 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
     if width % LANES or gj.shape[1] != width:
         raise ValueError("gradient widths must match and be multiples "
                          "of 128")
+    wout = width + LANES if count_lanes else width
     nw = r_pad // wrows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -297,7 +333,7 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((wrows, width), lambda w, *_: (w, 0),
+        out_specs=pl.BlockSpec((wrows, wout), lambda w, *_: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, width), jnp.float32),
@@ -308,8 +344,9 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
     prec = "split" if precision == "split" else jax.lax.Precision(precision)
     return pl.pallas_call(
         functools.partial(_accum_kernel_dual, wrows=wrows, tile=tile,
-                          precision=prec, neg_lanes=int(neg_lanes)),
-        out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
+                          precision=prec, neg_lanes=int(neg_lanes),
+                          count_lanes=count_lanes),
+        out_shape=jax.ShapeDtypeStruct((r_pad, wout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts_i // LANES, counts_i, starts_j // LANES, counts_j,
@@ -317,11 +354,23 @@ def sorted_accum_dual(rows_i, gi, starts_i, counts_i, rows_j, gj, starts_j,
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad", "wrows", "tile",
-                                             "interpret", "precision"))
+                                             "interpret", "precision",
+                                             "count_lanes"))
 def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
                  tile: int = 1024, interpret: bool = False,
-                 precision: str = "highest"):
+                 precision: str = "highest", count_lanes: bool = False):
     """Accumulate ``g[b]`` into output row ``rows[b]``.
+
+    ``count_lanes=True`` (round 4 — the wide-engine stream-width
+    optimization): ``g`` carries PAYLOAD lanes only and the output gains
+    a trailing 128-lane granule whose lane 0 holds the per-row LIVE
+    COUNT, computed in-kernel as the one-hot row-sum.  The caller must
+    route masked/dead samples' rows to a sentinel ``>= r_pad`` (their
+    window ranges may still cover the positions — a sentinel simply
+    never matches), so a one-hot match is exactly a live sample.  This
+    removes 128 lanes of per-sample HBM stream traffic that previously
+    carried one mask bit (`wide_epoch._count_block`), at the cost of a
+    cheap VPU lane-reduction.
 
     Args:
       rows2d: int32[Bp/128, 128] ascending target physical rows in
@@ -349,13 +398,14 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
     width = g.shape[1]
     if width % LANES:
         raise ValueError("gradient width must be a multiple of 128")
+    wout = width + LANES if count_lanes else width
     nw = r_pad // wrows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((wrows, width), lambda w, s, c: (w, 0),
+        out_specs=pl.BlockSpec((wrows, wout), lambda w, s, c: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, width), jnp.float32),
@@ -366,8 +416,8 @@ def sorted_accum(rows2d, g, starts, counts, *, r_pad: int, wrows: int = 512,
     prec = "split" if precision == "split" else jax.lax.Precision(precision)
     return pl.pallas_call(
         functools.partial(_accum_kernel, wrows=wrows, tile=tile,
-                          precision=prec),
-        out_shape=jax.ShapeDtypeStruct((r_pad, width), jnp.float32),
+                          precision=prec, count_lanes=count_lanes),
+        out_shape=jax.ShapeDtypeStruct((r_pad, wout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts // LANES, counts, rows2d, g)

@@ -129,7 +129,8 @@ def run_wide(U, I, K, B, S, wrows, interpret):
 
     from cymf_tpu.ops.packed_epoch import make_packed_optimizer, prep_epoch
     from cymf_tpu.ops.wide_epoch import (pack_wide, prep_static_wide,
-                                         wide_bpr_epoch, wide_rows)
+                                         wide_bpr_epoch, wide_rows,
+                                         wide_sorted_masks)
 
     rng = np.random.default_rng(7)
     u2, i2 = _stream(U, I, B, S, seed=U + K + 2)
@@ -138,6 +139,7 @@ def run_wide(U, I, K, B, S, wrows, interpret):
     pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
+    mi2, mj2 = wide_sorted_masks(mask, si, sj)
     W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
     H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
     Wd = jnp.asarray(pack_wide(W0, K, multiple=wrows))
@@ -150,6 +152,7 @@ def run_wide(U, I, K, B, S, wrows, interpret):
         jnp.asarray(winw), jnp.asarray(si), jnp.asarray(rowsi),
         jnp.asarray(wini), jnp.asarray(j2), jnp.asarray(mask),
         jnp.asarray(sj), jnp.asarray(rowsj), jnp.asarray(winj),
+        jnp.asarray(mi2), jnp.asarray(mj2),
         jnp.asarray(S * B), opt_name="adam", lr=0.02, weight_decay=0.01,
         K=K, rw=rw, rh=rh, wrows=wrows, interpret=interpret)
     W = np.asarray(W2[:U, :K])

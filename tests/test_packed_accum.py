@@ -374,7 +374,8 @@ class TestWideEpoch:
         sparse-Adam replica on identical (u, i, j, mask) streams."""
         from cymf_tpu.ops.packed_epoch import prep_epoch
         from cymf_tpu.ops.wide_epoch import (pack_wide, prep_static_wide,
-                                             wide_bpr_epoch, wide_rows)
+                                             wide_bpr_epoch, wide_rows,
+                                             wide_sorted_masks)
         from cymf_tpu.ops.packed_epoch import make_packed_optimizer
 
         rng = np.random.default_rng(3)
@@ -392,6 +393,7 @@ class TestWideEpoch:
         pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
         j2, mask, sj, rowsj, winj = prep_epoch(
             np.random.default_rng(9), u2, i2, pos_keys, U, I, K, rh, wrows)
+        mi2, mj2 = wide_sorted_masks(mask, si, sj)
 
         Wd = jnp.asarray(pack_wide(W0, K, multiple=wrows))
         Hd = jnp.asarray(pack_wide(H0, K, multiple=wrows))
@@ -402,6 +404,7 @@ class TestWideEpoch:
             jnp.asarray(winw), jnp.asarray(si), jnp.asarray(rowsi),
             jnp.asarray(wini), jnp.asarray(j2), jnp.asarray(mask),
             jnp.asarray(sj), jnp.asarray(rowsj), jnp.asarray(winj),
+            jnp.asarray(mi2), jnp.asarray(mj2),
             jnp.asarray(S * B), opt_name="adam", lr=lr, weight_decay=wd,
             K=K, rw=rw, rh=rh, wrows=wrows, interpret=True,
             precision="split")
@@ -470,3 +473,78 @@ class TestWideEpoch:
         ev = AoaEvaluator(X, metrics=["DCG"], k=5, num_negatives=50)
         got = ev.evaluate(m.W, m.H)["DCG@5"]
         assert got > 0.3
+
+
+class TestCountLanes:
+    def test_count_lanes_matches_explicit_granule(self):
+        """sorted_accum(count_lanes=True) on payload-only streams with
+        sentinel-routed masked rows == the explicit count-granule
+        composition (the round-3 wide layout)."""
+        from cymf_tpu.ops.sorted_accum import (pad_samples, sorted_accum,
+                                               window_ranges)
+
+        rng = np.random.default_rng(5)
+        B, R, wrows, W_in = 3000, 1024, 256, 256
+        rows = np.sort(rng.integers(0, R - 5, B)).astype(np.int32)
+        mask = (rng.random(B) > 0.2).astype(np.float32)
+        g = rng.normal(size=(B, W_in)).astype(np.float32) * mask[:, None]
+        starts, counts = window_ranges(rows, R, wrows)
+        rows2d = pad_samples(rows, R)
+        rows_m = rows2d.copy().reshape(-1)
+        rows_m[:B] = np.where(mask > 0, rows, R)
+        rows_m = rows_m.reshape(rows2d.shape)
+        g_p = np.zeros((rows2d.size, W_in), np.float32)
+        g_p[:B] = g
+        out = np.asarray(sorted_accum(
+            jnp.asarray(rows_m), jnp.asarray(g_p), jnp.asarray(starts),
+            jnp.asarray(counts), r_pad=R, wrows=wrows, interpret=True,
+            count_lanes=True))
+        assert out.shape == (R, W_in + 128)
+        # reference: scatter payload + bincount of live rows
+        ref_pay = np.zeros((R, W_in), np.float32)
+        np.add.at(ref_pay, rows, g)
+        ref_cnt = np.zeros(R, np.float32)
+        np.add.at(ref_cnt, rows, mask)
+        np.testing.assert_allclose(out[:, :W_in], ref_pay, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(out[:, W_in], ref_cnt)
+        assert (out[:, W_in + 1:] == 0).all()
+
+    def test_dual_count_lanes(self):
+        from cymf_tpu.ops.sorted_accum import (pad_samples,
+                                               sorted_accum_dual,
+                                               window_ranges)
+
+        rng = np.random.default_rng(6)
+        Bi, Bj, R, wrows, W_in = 2000, 3000, 512, 128, 256
+        args = []
+        refs = []
+        for n_s, seed in ((Bi, 1), (Bj, 2)):
+            r = np.random.default_rng(seed)
+            rows = np.sort(r.integers(0, R - 5, n_s)).astype(np.int32)
+            m = (r.random(n_s) > 0.3).astype(np.float32)
+            g = r.normal(size=(n_s, W_in)).astype(np.float32) * m[:, None]
+            starts, counts = window_ranges(rows, R, wrows)
+            rows2d = pad_samples(rows, R)
+            rows_m = rows2d.reshape(-1).copy()
+            rows_m[:n_s] = np.where(m > 0, rows, R)
+            g_p = np.zeros((rows2d.size, W_in), np.float32)
+            g_p[:n_s] = g
+            args += [jnp.asarray(rows_m.reshape(rows2d.shape)),
+                     jnp.asarray(g_p), jnp.asarray(starts),
+                     jnp.asarray(counts)]
+            refs.append((rows, g, m))
+        out = np.asarray(sorted_accum_dual(
+            *args, r_pad=R, neg_lanes=W_in, wrows=wrows, interpret=True,
+            count_lanes=True))
+        assert out.shape == (R, W_in + 128)
+        (ri, gi, mi), (rj, gj, mj) = refs
+        ref_pay = np.zeros((R, W_in), np.float32)
+        np.add.at(ref_pay, rj, gj)
+        np.add.at(ref_pay, ri, -gi)
+        ref_cnt = np.zeros(R, np.float32)
+        np.add.at(ref_cnt, ri, mi)
+        np.add.at(ref_cnt, rj, mj)
+        np.testing.assert_allclose(out[:, :W_in], ref_pay, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(out[:, W_in], ref_cnt)
