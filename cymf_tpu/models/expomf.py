@@ -143,9 +143,11 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
         Xt = X.T.tocsr()
         Xt.sort_indices()
         user_chunks = self._device_chunks(
-            build_chunks(X, self.chunk_size, Wd.shape[0]))
+            build_chunks(X, self.chunk_size, Wd.shape[0],
+                         num_components=self.num_components))
         item_chunks = self._device_chunks(
-            build_chunks(Xt, self.chunk_size, Hd.shape[0]))
+            build_chunks(Xt, self.chunk_size, Hd.shape[0],
+                         num_components=self.num_components))
 
         dtype = config.param_dtype()
         lam_y = jnp.asarray(self.lam_y, dtype)

@@ -76,9 +76,11 @@ class WMF(MFTrainerBase, PersistenceMixin):
         Xt = X.T.tocsr()
         Xt.sort_indices()
         user_chunks = self._device_chunks(
-            build_chunks(X, self.chunk_size, Wd.shape[0]))
+            build_chunks(X, self.chunk_size, Wd.shape[0],
+                         num_components=self.num_components))
         item_chunks = self._device_chunks(
-            build_chunks(Xt, self.chunk_size, Hd.shape[0]))
+            build_chunks(Xt, self.chunk_size, Hd.shape[0],
+                         num_components=self.num_components))
         self._samples_per_epoch = X.nnz
         eye = jnp.eye(self.num_components, dtype=config.param_dtype())
         wd = self.weight_decay

@@ -55,7 +55,8 @@ class AlsChunk(NamedTuple):
 
 
 def build_chunks(X: sparse.csr_matrix, chunk_size: int, drop_sentinel: int,
-                 max_elems: int = 1 << 25) -> List[AlsChunk]:
+                 max_elems: int = 1 << 25,
+                 num_components: int = 0) -> List[AlsChunk]:
     """Degree-bucketed chunking of CSR rows.
 
     Rows are sorted by degree ascending; each chunk is padded to the next
@@ -64,7 +65,14 @@ def build_chunks(X: sparse.csr_matrix, chunk_size: int, drop_sentinel: int,
     index entries (prevents (rows x 64k-degree) blowups on ML-20M-scale
     popular items).  Partial chunks are padded with sentinel rows (dropped
     at scatter time).
+
+    ``num_components``: when given, the cap is additionally scaled so the
+    GATHERED ``(C, P, K)`` f32 buffer stays under ~2GB — at K=256 and
+    ML-20M degrees the index-entry cap alone admitted a ~34GB gather that
+    OOM'd device compilation (found on hardware, round 4).
     """
+    if num_components > 0:
+        max_elems = min(max_elems, max((1 << 29) // num_components, 1 << 16))
     n = X.shape[0]
     deg = np.diff(X.indptr)
     order = np.argsort(deg, kind="stable").astype(np.int64)
