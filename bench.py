@@ -108,7 +108,7 @@ def bench_bpr_packed():
     u2 = np.take_along_axis(u2, order, axis=1)
     i2 = np.take_along_axis(i2, order, axis=1)
 
-    wrows_w = wrows_h = int(os.environ.get("BENCH_WROWS", "512"))
+    wrows_w = wrows_h = int(os.environ.get("BENCH_WROWS", "256"))
     rw = pk.packed_rows(U, K, multiple=wrows_w)
     rh = pk.logical_rows(I, multiple=wrows_h)
     winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(

@@ -483,8 +483,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
         N = self._samples_per_epoch
         self.last_loss = None
         # W packed (dense optimizer pass stays s-fold smaller), H logical
-        # (lane-aligned gathers, no slot rotations) — see ops/fused_sample
-        wrows_w, wrows_h = 512, 512
+        # (lane-aligned gathers, no slot rotations) — see ops/fused_sample.
+        # 256-row accumulation windows measured ~0.8% faster than 512 on
+        # the realistic ML-20M stream (docs/measurements/r4/sweep_W*_b.log)
+        wrows_w, wrows_h = 256, 256
         rw = pk.packed_rows(U, K, multiple=wrows_w)
         rh = pk.logical_rows(I, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"

@@ -48,10 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import packed as pk
 
+import os
+
 LANES = 128
-# fused-sample tile: keeps Mosaic's scoped-VMEM stack (the kernel's live
-# (tile,128) temporaries) comfortably under the 16MB limit
-TILE = 512
+# fused-sample tile: 512 keeps Mosaic's scoped-VMEM stack (the kernel's
+# live (tile,128) temporaries) under the DEFAULT 16MB limit; with the
+# round-4 vmem_limit_bytes raise larger tiles are legal — env-tunable
+# for measurement (CYMF_TPU_SAMPLE_TILE)
+TILE = int(os.environ.get("CYMF_TPU_SAMPLE_TILE", "512"))
 
 
 def decorate(gathered, slot, mf, K: int):

@@ -53,6 +53,7 @@ touched element), while the XLA engine's is value-based (summed gradient
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,7 @@ from .fused_step import (CROWS, LOSS_LANE, bpr_block_step_v6,
                          supports_v6, supports_v7, supports_v8)
 from .sorted_accum import sorted_accum, sorted_accum_dual, window_ranges
 
-TILE = 1024
+TILE = int(os.environ.get("CYMF_TPU_ACCUM_TILE", "1024"))
 
 
 def _fold_rows(phys):
