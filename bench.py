@@ -15,7 +15,7 @@ epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
   BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|
-              glove|evaluator|all
+              glove|evaluator|recommend|all
   BENCH_POOL=P      pool size for bpr_pool (default 1024)
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
@@ -523,7 +523,7 @@ def bench_glove():
     dt = (time.perf_counter() - t0) / epochs
     rate = X.nnz / dt
     return {"metric": "glove_triples_per_sec", "value": round(rate, 1),
-            "unit": "triples/s", "vs_baseline": float("nan")}
+            "unit": "triples/s", "vs_baseline": None}
 
 
 def bench_evaluator():
@@ -550,7 +550,40 @@ def bench_evaluator():
         ev.evaluate(W, H, seed=s)
     dt = (time.perf_counter() - t0) / reps
     return {"metric": "evaluator_users_per_sec", "value": round(U / dt, 1),
-            "unit": "users/s", "vs_baseline": float("nan")}
+            "unit": "users/s", "vs_baseline": None}
+
+
+def bench_recommend():
+    """Full-catalog top-10 recommendation rate at ML-20M shapes (138k
+    users x 27k items, d=20, train-positive exclusion).  The reference
+    has no batch recommendation path at all — its only scoring loop is
+    the evaluator's per-user Python loop — so there is no baseline; this
+    measures the serving-side story of the framework."""
+    import jax
+    from scipy import sparse
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.evaluation.recommend import recommend
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I, K = (1200, 800, 20) if small else (138493, 26744, 20)
+    nnz = 40000 if small else 20000000
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    X = sparse.csr_matrix(
+        (np.ones(nnz, np.float32), (users, items)), shape=(U, I))
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(U, K)).astype(np.float32)
+    H = rng.normal(size=(I, K)).astype(np.float32)
+    recommend(W, H, k=10, exclude=X)  # compile
+    reps = int(os.environ.get("BENCH_EPOCHS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores, topk = recommend(W, H, k=10, exclude=X)
+    dt = (time.perf_counter() - t0) / reps
+    assert topk.shape == (U, 10)
+    return {"metric": "recommend_users_per_sec", "value": round(U / dt, 1),
+            "unit": "users/s (full-catalog top-10, train exclusion)",
+            "vs_baseline": None}
 
 
 def bench_bpr_pallas():
@@ -605,6 +638,7 @@ _MODES = {
     "expomf": bench_expomf,
     "glove": bench_glove,
     "evaluator": bench_evaluator,
+    "recommend": bench_recommend,
 }
 
 

@@ -49,11 +49,18 @@ def main():
     I = int(os.environ.get("ABL_ITEMS", "26744"))
     K = int(os.environ.get("ABL_DIM", "20"))
     B = int(os.environ.get("ABL_BATCH", "131072"))
-    wrows_w = wrows_h = 512
-    TILE = 1024
+    wrows_w = wrows_h = int(os.environ.get("ABL_WROWS", "256"))
+    TILE = int(os.environ.get("CYMF_TPU_ACCUM_TILE", "1024"))
     interpret = jax.default_backend() != "tpu"
 
-    users, items = bench_interactions(U, I, S * B, seed=0)
+    # ABL_NNZ: total stream size to draw the S step batches from.  The
+    # default S*B gives an UNREALISTICALLY flat degree profile (a 1.57M
+    # draw has ~13x lower per-user degrees than the 20M headline stream
+    # — docs/PERF.md); set ABL_NNZ=20000000 to slice the S batches out
+    # of the full realistic stream (the generator shuffles globally, so
+    # any S*B prefix is distribution-identical to the headline's steps).
+    NNZ = max(int(os.environ.get("ABL_NNZ", "0")), S * B)
+    users, items = bench_interactions(U, I, NNZ, seed=0)
     u2 = users[:S * B].reshape(S, B)
     i2 = items[:S * B].reshape(S, B)
     order = np.argsort(u2, axis=1, kind="stable")
@@ -64,7 +71,9 @@ def main():
     rh = pk.logical_rows(I, multiple=wrows_h)
     winw, wstart, si, rowsi, wini, bcs, bcn, kernel_v = prep_static(
         u2, i2, K, rw, rh, wrows_w, wrows_h)
-    pos_keys = np.sort(u2.ravel().astype(np.int64) * I + i2.ravel())
+    # rejection set spans the FULL drawn stream (as in bench.py), not
+    # just the S sliced batches — collision rates stay headline-faithful
+    pos_keys = np.sort(users.astype(np.int64) * I + items)
     j2, mask, sj, rowsj, winj = prep_epoch(
         np.random.default_rng(0), u2, i2, pos_keys, U, I, K, rh, wrows_h)
 
@@ -95,13 +104,14 @@ def main():
         sv_neg = jnp.where(payb, jnp.float32(-1), jnp.float32(1))[None, :]
 
         def stage_scan(body):
+            # streams as arguments — see the non-pool stage_scan note
             @jax.jit
-            def run():
+            def run(xs_arg):
                 def step(carry, x):
                     return carry + body(x), None
-                out, _ = jax.lax.scan(step, jnp.float32(0), xs)
+                out, _ = jax.lax.scan(step, jnp.float32(0), xs_arg)
                 return out
-            return run
+            return lambda: run(xs)
 
         def p_gather(x):
             u, i, _, _, _, pool, rj, mf, ww = x
@@ -179,13 +189,16 @@ def main():
                 wstart, bcs, bcn))
 
     def stage_scan(body):
+        # index streams enter as ARGUMENTS: closed-over device arrays are
+        # embedded in the remote-compile request and 413 the relay at
+        # S>=96 (CLAUDE.md)
         @jax.jit
-        def run():
+        def run(xs_arg):
             def step(carry, x):
                 return carry + body(x), None
-            out, _ = jax.lax.scan(step, jnp.float32(0), xs)
+            out, _ = jax.lax.scan(step, jnp.float32(0), xs_arg)
             return out
-        return run
+        return lambda: run(xs)
 
     def g_gather(x):
         u, i, _, _, _, j, mf, *_ = x
