@@ -108,6 +108,48 @@ def _place_like(arr, tleaf):
     return jnp.asarray(arr)
 
 
+def _packed_resume_state(flat, U, I, K, mult_w, wrows_h, ow, oh,
+                         place_w, place_h):
+    """Rebuild packed-engine device state from a raw checkpoint dict
+    (either engine's schema — see `_load_ckpt_raw`) under W row padding
+    ``mult_w`` and H row padding ``wrows_h``.  ``place_w``/``place_h``
+    put the rebuilt arrays on device (identity placement for the
+    single-device engine; table/replicated shardings for the sharded
+    one).  Returns ``(Wp, Hp, ow, oh)``."""
+    from ..ops import packed as pk
+
+    # tables: both engine schemas store logical rows
+    Wp = place_w(pk.pack_array(np.asarray(flat["W"])[:U], K,
+                               multiple=mult_w))
+    Hp = place_h(pk.pack_logical(np.asarray(flat["H"])[:I], K,
+                                 multiple=wrows_h))
+
+    def pack_w(a):  # logical (>=U, K) -> packed (rw, 128)
+        return pk.pack_array(a[:U], K, multiple=mult_w)
+
+    def pack_h(a):  # logical (>=I, K) -> logical-layout (rh, 128)
+        return pk.pack_logical(a[:I], K, multiple=wrows_h)
+
+    mpay_w = pk.pack_array(np.ones((U, K), np.float32), K,
+                           multiple=mult_w) > 0
+    mpay_h = pk.pack_logical(np.ones((I, K), np.float32), K,
+                             multiple=wrows_h) > 0
+    s_k = pk.num_slots(K)
+
+    def repad_wp(a):  # packed layout under a different row pad
+        return pk.pack_array(a[:, :s_k * K].reshape(-1, K)[:U], K,
+                             multiple=mult_w)
+
+    def repad_hp(a):  # logical layout under a different row pad
+        return pk.pack_logical(a[:I, :K], K, multiple=wrows_h)
+
+    ow = _restore_opt_state(flat, "owp", "ow", ow, pack_w, mpay_w,
+                            lambda a, t: place_w(a), repad=repad_wp)
+    oh = _restore_opt_state(flat, "ohp", "oh", oh, pack_h, mpay_h,
+                            lambda a, t: place_h(a), repad=repad_hp)
+    return Wp, Hp, ow, oh
+
+
 def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
     """'auto' resolves to dense when the batch covers enough of the table
     that a full-table pass is cheaper than sorted row-scatters."""
@@ -269,11 +311,13 @@ class BPR(MFTrainerBase, PersistenceMixin):
         + the same scatter-free accumulation, ``ops/wide_epoch.py``), or
         ``""`` (the portable XLA batch engine).
 
-        ``packed='auto'`` picks the fused engine on one device with a real
-        TPU backend (the kernels run in slow interpret mode elsewhere);
-        ``packed='on'`` FORCES it (any backend, any mesh — it is a
-        single-device engine and runs on the default device) and warns
-        when a multi-device mesh is being ignored."""
+        ``packed='auto'`` picks the fused engine on a real TPU backend
+        (the kernels run in slow interpret mode elsewhere); on a
+        multi-device mesh the packed engine runs its explicit shard_map
+        form (`parallel/shard_step.sharded_packed_bpr_epoch`).
+        ``packed='on'`` FORCES it on any backend; the wide engine is
+        still single-device and warns when a multi-device mesh is being
+        ignored."""
         from ..ops import packed as pk
         kind = "packed" if pk.packable(self.num_components) else "wide"
         if self.packed == "off":
@@ -282,14 +326,17 @@ class BPR(MFTrainerBase, PersistenceMixin):
             if self.engine != "xla":
                 raise ValueError(
                     "packed='on' requires engine='xla'")
-            if self.mesh.num_devices > 1:
+            if self.mesh.num_devices > 1 and kind == "wide":
                 import warnings
                 warnings.warn(
-                    "packed='on' is a single-device engine: the "
+                    "packed='on' with num_components >= 128 selects the "
+                    "wide engine, which is single-device: the "
                     f"{self.mesh.num_devices}-device mesh is ignored and "
                     "training runs on the default device", stacklevel=3)
             return kind
-        if self.engine != "xla" or self.mesh.num_devices != 1:
+        if self.engine != "xla":
+            return ""
+        if self.mesh.num_devices != 1 and kind != "packed":
             return ""
         import jax
         if jax.default_backend() == "tpu" and n_samples >= 4096:
@@ -357,6 +404,16 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 "single-device TPU run, or packed='on'); this fit "
                 f"selected {fused or 'the XLA batch engine'!r}")
         if fused == "packed":
+            if mesh_n > 1 and not self.neg_pool:
+                return self._fit_packed_sharded(
+                    X, u2, i2, num_epochs, verbose, seed,
+                    checkpoint_path, checkpoint_every, resume)
+            if mesh_n > 1:
+                import warnings
+                warnings.warn(
+                    "neg_pool is a single-chip VMEM structure: the "
+                    f"{mesh_n}-device mesh is ignored and the pool "
+                    "engine runs on the default device", stacklevel=2)
             return self._fit_packed(X, u2, i2, num_epochs, verbose, seed,
                                     checkpoint_path, checkpoint_every,
                                     resume)
@@ -548,36 +605,9 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 and __import__("os").path.exists(checkpoint_path):
             flat, last_epoch = _load_ckpt_raw(checkpoint_path)
             start_epoch = last_epoch + 1
-            # tables: both engine schemas store logical rows
-            Wp = jnp.asarray(pk.pack_array(
-                np.asarray(flat["W"])[:U], K, multiple=wrows_w))
-            Hp = jnp.asarray(pk.pack_logical(
-                np.asarray(flat["H"])[:I], K, multiple=wrows_h))
-
-            def pack_w(a):  # logical (>=U, K) -> packed (rw, 128)
-                return pk.pack_array(a[:U], K, multiple=wrows_w)
-
-            def pack_h(a):  # logical (>=I, K) -> logical-layout (rh, 128)
-                return pk.pack_logical(a[:I], K, multiple=wrows_h)
-
-            mpay_w = pk.pack_array(np.ones((U, K), np.float32), K,
-                                   multiple=wrows_w) > 0
-            mpay_h = pk.pack_logical(np.ones((I, K), np.float32), K,
-                                     multiple=wrows_h) > 0
-            s_k = pk.num_slots(K)
-
-            def repad_wp(a):  # packed layout under a different row pad
-                return pk.pack_array(a[:, :s_k * K].reshape(-1, K)[:U], K,
-                                     multiple=wrows_w)
-
-            def repad_hp(a):  # logical layout under a different row pad
-                return pk.pack_logical(a[:I, :K], K, multiple=wrows_h)
-
-            place = lambda a, t: jnp.asarray(a)
-            ow = _restore_opt_state(flat, "owp", "ow", ow, pack_w, mpay_w,
-                                    place, repad=repad_wp)
-            oh = _restore_opt_state(flat, "ohp", "oh", oh, pack_h, mpay_h,
-                                    place, repad=repad_hp)
+            Wp, Hp, ow, oh = _packed_resume_state(
+                flat, U, I, K, wrows_w, wrows_h, ow, oh,
+                jnp.asarray, jnp.asarray)
             publish()
 
         self._last_loss_dev = None
@@ -631,6 +661,124 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
                 wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret,
                 kernel_v=kernel_v)
+            publish()
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_packed_sharded(self, X, u2, i2, num_epochs, verbose, seed,
+                            checkpoint_path, checkpoint_every, resume):
+        """Multi-device packed engine: row-sharded packed W + replicated
+        logical H, shard-contiguous sample slices (the u-sorted stream
+        splits into per-shard slices, so every W gather/kernel/optimizer
+        stage is fully local), ONE item-table psum per step.  See
+        `parallel/shard_step.sharded_packed_bpr_epoch`.  Negative streams
+        are drawn GLOBALLY (identical to the 1-device stream) before
+        slicing, so fits are mesh-size-invariant up to float summation
+        order — the sharded analogue of `bpr.pyx:162-169`'s Hogwild epoch
+        with the user-sort replacing the shared address space."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import packed as pk
+        from ..ops.packed_epoch import (make_packed_optimizer,
+                                        make_reject_filter, prep_backend,
+                                        prep_epoch, prep_shard_epoch,
+                                        prep_shard_static, unpack_device)
+        from ..parallel.mesh import ROW_AXIS
+        from ..parallel.shard_step import sharded_packed_bpr_epoch
+
+        if self.neg_pool:
+            raise ValueError(
+                "neg_pool requires a single-device mesh (the shared pool "
+                "is a VMEM-resident single-chip structure)")
+        mesh = self.mesh
+        n = mesh.num_devices
+        self.prep_backend_ = prep_backend()
+        U, I = X.shape
+        K = self.num_components
+        N = self._samples_per_epoch
+        self.last_loss = None
+        wrows_w, wrows_h = 256, 256
+        # every shard's local row range must be a whole number of
+        # accumulation windows
+        rw = pk.packed_rows(U, K, multiple=wrows_w * n)
+        rh = pk.logical_rows(I, multiple=wrows_h)
+        interpret = jax.default_backend() != "tpu"
+        # the sharded engine runs the span-independent v4 pipeline
+        self.packed_kernel_ = 4
+
+        (u_loc, i_loc, winw, si, rowsi, wini, starts, counts, Bd) = \
+            prep_shard_static(u2, i2, K, rw, rh, wrows_w, wrows_h, n)
+        coo = X.tocoo()
+        pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        self._key_filter = make_reject_filter(pos_keys, U, I)
+
+        table_sh = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+        rep_sh = mesh.replicated()
+        stream_sh = NamedSharding(mesh.mesh, P(ROW_AXIS))
+        put_w = lambda a: jax.device_put(np.asarray(a), table_sh)
+        put_h = lambda a: jax.device_put(np.asarray(a), rep_sh)
+        put_s = lambda a: jax.device_put(np.asarray(a), stream_sh)
+
+        Wp = put_w(pk.pack_array(self.W, K, multiple=wrows_w * n))
+        Hp = put_h(pk.pack_logical(self.H, K, multiple=wrows_h))
+        opt = make_packed_optimizer(self.optimizer, self.learning_rate)
+        ow, oh = opt.init(Wp), opt.init(Hp)
+
+        u_d, i_d, si_d, rowsi_d, wini_d, winw_d = (
+            put_s(a) for a in (u_loc, i_loc, si, rowsi, wini, winw))
+        n_valid = jnp.asarray(N, jnp.int32)
+        epoch_fn_jit = sharded_packed_bpr_epoch(
+            mesh, self.optimizer, self.learning_rate, self.weight_decay,
+            K, rw, rh, wrows_w, wrows_h, interpret)
+
+        def publish():
+            self._state = {"W": unpack_device(Wp, K),
+                           "H": Hp[:, :K],
+                           "owp": ow, "ohp": oh}
+
+        publish()
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
+            start_epoch = last_epoch + 1
+            Wp, Hp, ow, oh = _packed_resume_state(
+                flat, U, I, K, wrows_w * n, wrows_h, ow, oh, put_w, put_h)
+            publish()
+
+        self._last_loss_dev = None
+
+        def epoch_fn(epoch):
+            nonlocal Wp, Hp, ow, oh
+            # global draws (the 1-device stream), then shard slicing;
+            # the global j-side sort is recomputed per shard, so the
+            # prep's own sorted side is unused here
+            rng = np.random.default_rng((seed, epoch))
+            j2, mask, _, _, _ = prep_epoch(
+                rng, u2, i2, pos_keys, U, I, K, rh, wrows_h,
+                native_seed=seed * 1_000_003 + epoch,
+                key_filter=self._key_filter)
+            j_loc, mf, sj, rowsj, winj = prep_shard_epoch(
+                j2, mask, starts, counts, Bd, rh, wrows_h, n)
+            Wp, Hp, ow, oh, self._last_loss_dev = epoch_fn_jit(
+                Wp, Hp, ow, oh, u_d, i_d, si_d, rowsi_d, wini_d,
+                put_s(j_loc), put_s(mf), put_s(sj), put_s(rowsj),
+                put_s(winj), winw_d, n_valid)
             publish()
 
         def snapshot_fn():

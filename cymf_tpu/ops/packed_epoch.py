@@ -625,6 +625,103 @@ def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int,
     return (in_data & ~collide).astype(np.float32)
 
 
+def shard_slices(u2, K: int, rw: int, n: int, tile: int = TILE):
+    """Per-step contiguous slice boundaries of the u-sorted sample stream
+    for ``n`` equal W row shards (the sharded packed engine's partition).
+
+    Each step's stream is ascending in u, and shard ``p`` statically owns
+    packed rows ``[p*rw/n, (p+1)*rw/n)`` — so shard p's samples are
+    exactly ONE contiguous slice per step, found by binary search.  No
+    all_to_all is ever needed: this is the TPU-mesh analogue of the
+    reference's single-address-space Hogwild threads
+    (`/root/reference/cymf/bpr.pyx:162`), with the sort replacing the
+    shared-memory free-for-all.  Global padding sentinels (PAD_USER)
+    sort last and land in the final shard.
+
+    Returns ``(starts int64[S, n], counts int64[S, n], Bd)`` — ``Bd`` (a
+    ``tile`` multiple) is the static per-shard batch: the max slice
+    length over every (step, shard).  On degree-balanced row ranges
+    (real datasets: user ids are arbitrary wrt degree) Bd ~= B/n.
+    """
+    S, B = u2.shape
+    s = pk.num_slots(K)
+    if rw % n:
+        raise ValueError("rw must be a multiple of the device count")
+    rw_l = rw // n
+    bounds = np.arange(1, n, dtype=np.int64) * rw_l * s
+    splits = np.empty((S, n - 1), np.int64)
+    u64 = np.asarray(u2, np.int64)
+    for t in range(S):
+        splits[t] = np.searchsorted(u64[t], bounds)
+    starts = np.concatenate([np.zeros((S, 1), np.int64), splits], axis=1)
+    ends = np.concatenate([splits, np.full((S, 1), B, np.int64)], axis=1)
+    counts = ends - starts
+    Bd = max(int(counts.max()), 1)
+    return starts, counts, -(-Bd // tile) * tile
+
+
+def prep_shard_static(u2, i2, K: int, rw: int, rh: int, wrows_w: int,
+                      wrows_h: int, n: int, tile: int = TILE):
+    """Once per fit (sharded packed engine): slice the static u/i streams
+    into ``n`` shard-contiguous pieces, localize user ids to shard row
+    offsets, and build the per-shard W windows and i-side sorted streams.
+
+    Per-shard padding conventions mirror the single-device engine's:
+    padding samples get the local W-row sentinel ``rw_local`` (outside
+    every accumulation window; the gather clamps), item index 0 (they
+    accumulate exactly-zero Q rows, like the trainer's global pads), and
+    mask 0 via :func:`prep_shard_epoch`.
+
+    Returns ``(u_loc, i_loc, winw, si, rowsi, wini, starts, counts, Bd)``
+    with a leading shard axis on every array.
+    """
+    S, B = u2.shape
+    s = pk.num_slots(K)
+    starts, counts, Bd = shard_slices(u2, K, rw, n, tile)
+    rw_l = rw // n
+    sent = rw_l * s
+    u_loc = np.full((n, S, Bd), sent, np.int32)
+    i_loc = np.zeros((n, S, Bd), np.int32)
+    winw = np.empty((n, S, 2, rw_l // wrows_w), np.int32)
+    si = np.empty((n, S, Bd), np.int32)
+    rowsi = np.empty((n, S, Bd // 128, 128), np.int32)
+    wini = np.empty((n, S, 2, rh // wrows_h), np.int32)
+    u64 = np.asarray(u2, np.int64)
+    for p in range(n):
+        off = np.int64(p) * rw_l * s
+        for t in range(S):
+            a, c = int(starts[t, p]), int(counts[t, p])
+            u_loc[p, t, :c] = np.minimum(u64[t, a:a + c] - off, sent)
+            i_loc[p, t, :c] = i2[t, a:a + c]
+            pu = u_loc[p, t].astype(np.int64) // s
+            winw[p, t, 0], winw[p, t, 1] = window_ranges(
+                pu, rw_l, wrows_w, tile, align=128)
+        si[p], rowsi[p], wini[p] = _sorted_side(i_loc[p], rh, wrows_h, tile)
+    return u_loc, i_loc, winw, si, rowsi, wini, starts, counts, Bd
+
+
+def prep_shard_epoch(j2, mask, starts, counts, Bd: int, rh: int,
+                     wrows_h: int, n: int, tile: int = TILE):
+    """Once per epoch (sharded packed engine): slice the GLOBALLY drawn
+    negative stream (identical to the 1-device stream — draws happen
+    before sharding, so results are mesh-size-invariant up to float
+    summation order) and rebuild the j-side sorted streams per shard.
+    """
+    S, B = j2.shape
+    j_loc = np.zeros((n, S, Bd), np.int32)
+    mf = np.zeros((n, S, Bd), np.uint8)
+    sj = np.empty((n, S, Bd), np.int32)
+    rowsj = np.empty((n, S, Bd // 128, 128), np.int32)
+    winj = np.empty((n, S, 2, rh // wrows_h), np.int32)
+    for p in range(n):
+        for t in range(S):
+            a, c = int(starts[t, p]), int(counts[t, p])
+            j_loc[p, t, :c] = j2[t, a:a + c]
+            mf[p, t, :c] = mask[t, a:a + c]
+        sj[p], rowsj[p], winj[p] = _sorted_side(j_loc[p], rh, wrows_h, tile)
+    return j_loc, mf, sj, rowsj, winj
+
+
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
                rh: int, wrows_h: int, tile: int = TILE, native_seed=None,

@@ -612,3 +612,123 @@ def sharded_glove_kfold_epoch(mesh_ctx, optimizer, x_max, alpha,
             n_valid, 1).astype(Wc.dtype)
 
     return jax.jit(epoch, donate_argnums=tuple(range(8)))
+
+
+def sharded_packed_bpr_epoch(mesh_ctx, opt_name, lr, weight_decay, K,
+                             rw, rh, wrows_w, wrows_h, interpret,
+                             precision="split"):
+    """Explicit shard_map PACKED BPR epoch — the multi-device form of the
+    flagship engine (``ops.packed_epoch.packed_bpr_epoch``, v4 pipeline),
+    so a mesh runs the fast fused-kernel path instead of falling back to
+    the XLA batch engine (measured 39.9M vs 19.5M int/s per chip,
+    docs/PERF.md).
+
+    Partition (see ``ops.packed_epoch.shard_slices``): the packed W table
+    (the big one — users) is row-sharded; each step's u-sorted sample
+    stream splits into n CONTIGUOUS shard slices, so W gathers, the fused
+    sample kernel, the W-side windowed accumulation, and the W optimizer
+    pass are all fully local — zero W-side communication.  The logical H
+    table (items — the SMALL table in recommendation workloads, ~5x
+    smaller than W on the MovieLens family) is REPLICATED; each device
+    accumulates its slice's H gradients over the full catalog and ONE
+    ``psum`` of that (rh, 128) buffer per step merges them, after which
+    the (deterministic) H optimizer pass runs replicated.  Comm per step
+    is therefore a single item-table-sized all-reduce + a scalar loss —
+    the deliberate inverse of ``sharded_bpr_epoch``'s O(batch)
+    row-exchange discipline, trading a small-table collective for fully
+    local gathers and kernels (at ML-20M shapes: 13.8 MB/step on ICI vs
+    3 all_gathers + 3 psum_scatters of (B, 128) = ~200 MB/step).
+
+    The negative stream is drawn GLOBALLY on the host before slicing
+    (``prep_shard_epoch``), so the sample stream — and hence the fit —
+    is mesh-size-invariant up to float summation order.
+
+    Returns ``fn(Wp, Hp, ow, oh, u, i, si, rowsi, wini, j, mf, sj,
+    rowsj, winj, winw, n_valid)`` where Wp/ow are row-sharded
+    ``(rw, 128)`` trees, Hp/oh replicated ``(rh, 128)`` trees, and every
+    stream array carries a leading shard axis ``n`` (from
+    ``prep_shard_static`` / ``prep_shard_epoch``).
+    """
+    from ..ops import packed as pk
+    from ..ops.fused_sample import bpr_sample_phase, decorate
+    from ..ops.packed_epoch import (TILE, _fold_rows, _pad_lanes,
+                                    make_packed_optimizer)
+    from ..ops.sorted_accum import sorted_accum, sorted_accum_dual
+
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    opt = make_packed_optimizer(opt_name, lr)
+    wd = float(weight_decay)
+    s = pk.num_slots(K)
+    cb = pk.count_base(K)
+    rw_l = rw // n
+    payb = jnp.arange(pk.LANES) < K
+    payf = payb.astype(jnp.float32)
+
+    def epoch(Wp, Hp, ow, oh, u, i, si, rowsi, wini, j, mf, sj, rowsj,
+              winj, winw, n_valid):
+
+        def device_epoch(Wp_l, Hp, ow_l, oh, u, i, si, rowsi, wini, j,
+                         mf, sj, rowsj, winj, winw):
+            # stream args arrive (1, S, ...) — drop the shard axis
+            u, i, si, rowsi, wini, j, mf, sj, rowsj, winj, winw = (
+                a[0] for a in (u, i, si, rowsi, wini, j, mf, sj, rowsj,
+                               winj, winw))
+
+            def step(carry, xs):
+                Wp_l, Hp, ow_l, oh, loss_acc = carry
+                u, i, si, rowsi, wi, j, mf, sj, rowsj, wj, ww = xs
+                mf = mf.astype(jnp.float32)
+                phys, slot = u // s, u % s
+                # local gathers: shard slices guarantee every sample's W
+                # row lives here (padding sentinel rw_l clamps, mask 0)
+                Du = decorate(Wp_l.at[jnp.minimum(phys, rw_l - 1)].get(
+                    indices_are_sorted=True, mode="promise_in_bounds"),
+                    slot, mf, K)
+                SW, Q, lossp = bpr_sample_phase(
+                    Du, Hp[i], Hp[j], K=K, wd=wd, interpret=interpret)
+                Aw = sorted_accum(
+                    _fold_rows(phys), SW, ww[0], ww[1], r_pad=rw_l,
+                    wrows=wrows_w, tile=TILE, interpret=interpret,
+                    precision=precision)
+                gw, nw = pk.split_counts(Aw, K)
+                nwE = pk.expand_counts(nw, K)
+                gbw = _pad_lanes(-gw + wd * nwE * Wp_l[:, :cb])
+                mw = _pad_lanes(nwE > 0)
+                Wp_l, ow_l = opt.update(Wp_l, ow_l, gbw, mw, K)
+
+                D = sorted_accum_dual(
+                    rowsi, Q[si], wi[0], wi[1], rowsj, Q[sj], wj[0],
+                    wj[1], r_pad=rh, neg_lanes=K, wrows=wrows_h,
+                    tile=TILE, interpret=interpret, precision=precision)
+                # THE collective: merge per-shard H gradients + counts
+                D = jax.lax.psum(D, ROW_AXIS)
+                loss_step = jax.lax.psum(lossp[0, 0], ROW_AXIS)
+                nh = D[:, K:K + 1]
+                gbh = (D + wd * nh * Hp) * payf
+                mh = (nh > 0) & payb
+                # replicated-deterministic H update (same psum'd inputs
+                # on every device -> shards stay bit-identical)
+                Hp, oh = opt.update(Hp, oh, gbh, mh, K)
+                return (Wp_l, Hp, ow_l, oh, loss_acc + loss_step), None
+
+            init = (Wp_l, Hp, ow_l, oh, jnp.zeros((), jnp.float32))
+            (Wp_l, Hp, ow_l, oh, loss), _ = jax.lax.scan(
+                step, init, (u, i, si, rowsi, wini, j, mf, sj, rowsj,
+                             winj, winw))
+            return Wp_l, Hp, ow_l, oh, loss
+
+        table = P(ROW_AXIS, None)
+        stream = P(ROW_AXIS)
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table, rep, table, rep) + (stream,) * 11,
+            out_specs=(table, rep, table, rep, rep),
+            check_vma=False)
+        Wp, Hp, ow, oh, loss = fn(Wp, Hp, ow, oh, u, i, si, rowsi, wini,
+                                  j, mf, sj, rowsj, winj, winw)
+        return Wp, Hp, ow, oh, loss / jnp.maximum(
+            n_valid, 1).astype(jnp.float32)
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))

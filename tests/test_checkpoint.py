@@ -222,13 +222,20 @@ def test_bpr_resume_across_row_padding(tmp_path, engine):
     np.testing.assert_allclose(m3.H, m2.H, rtol=1e-5, atol=1e-6)
 
 
-def test_packed_on_multidevice_warns():
-    """packed='on' on a multi-device mesh trains single-device and says so."""
+def test_packed_on_multidevice_runs_sharded():
+    """packed='on' on a multi-device mesh runs the SHARDED packed engine
+    (round 4) — no single-device fallback warning, finite result, and the
+    published state uses the packed optimizer schema."""
+    import warnings
+
     import jax
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device mesh")
     X = sparse.random(96, 64, density=0.2, random_state=0, format="csr")
     X.data[:] = 1.0
     m = BPR(num_components=6, batch_size=128, packed="on")
-    with pytest.warns(UserWarning, match="single-device engine"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         m.fit(X, num_epochs=1, verbose=False)
+    assert np.isfinite(m.last_loss)
+    assert m.packed_kernel_ == 4 and np.isfinite(m.W).all()

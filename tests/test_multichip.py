@@ -255,3 +255,88 @@ def test_glove_kfold_same_result_1dev_vs_8dev():
     W8, b8 = run(jax.devices())
     np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(b8, b1, rtol=2e-3, atol=2e-5)
+
+
+def test_bpr_packed_sharded_same_result_1dev_vs_8dev(data):
+    """The PACKED engine's explicit shard_map form (row-sharded packed W,
+    replicated logical H, shard-contiguous sample slices, one H psum per
+    step — round-4) must equal the single-device packed engine: negative
+    streams are drawn globally before slicing, so the fit is
+    mesh-size-invariant up to float summation order."""
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = BPR(num_components=8, learning_rate=0.02, batch_size=128,
+                    packed="on")
+            m.fit(data.train, num_epochs=3, verbose=False, seed=3)
+            return m.W.copy(), m.H.copy(), m.last_loss
+
+    W1, H1, l1 = run(jax.devices()[:1])
+    W8, H8, l8 = run(jax.devices())
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+
+
+def test_bpr_packed_sharded_medium_nondivisible_1dev_vs_8dev():
+    """Sharded packed engine at shapes where nothing divides evenly
+    (users, items, batch vs the 8-device mesh) — shard slice boundaries
+    fall mid-stream and the last shard holds all global padding."""
+    d = SyntheticImplicitDataset(num_user=3001, num_item=1203, rank=6,
+                                 density=0.005, seed=21)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            # sgd: accumulation-ORDER robust (adam's -lr*sign(g)
+            # first-touch step amplifies tiny fp reorder diffs to ~2*lr
+            # on ~0.1% of elements — the DRIFT class of
+            # scripts/tpu_kernel_smoke.py)
+            m = BPR(num_components=12, learning_rate=0.02,
+                    batch_size=2048, packed="on", optimizer="sgd")
+            m.fit(d.train, num_epochs=2, verbose=False, seed=9)
+            return m.W.copy(), m.H.copy()
+
+    W1, H1 = run(jax.devices()[:1])
+    W8, H8 = run(jax.devices())
+    assert W1.shape == (3001, 12) and H1.shape == (1203, 12)
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+
+
+def test_bpr_packed_neg_pool_multidevice_warns(data):
+    """The shared-negative pool is a single-chip VMEM structure: on a
+    multi-device mesh it warns and runs on the default device instead of
+    taking the sharded path (which has no pool form)."""
+    with use_mesh(MeshContext.create(jax.devices())):
+        m = BPR(num_components=8, batch_size=128, packed="on",
+                neg_pool=128)
+        with pytest.warns(UserWarning, match="single-chip"):
+            m.fit(data.train, num_epochs=1, verbose=False, seed=3)
+        assert m.packed_kernel_ == 8 and np.isfinite(m.W).all()
+
+
+def test_bpr_packed_sharded_resume_cross_mesh(data, tmp_path):
+    """A checkpoint written mid-fit by the 8-device sharded packed
+    engine resumes on ONE device (and vice versa) and matches the
+    uninterrupted single-device fit — cross-device-count resume for the
+    packed schema (round-3 VERDICT #31 extended to the sharded form)."""
+    p = str(tmp_path / "ck.npz")
+
+    def make(devices):
+        return BPR(num_components=8, learning_rate=0.02, batch_size=128,
+                   packed="on")
+
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        m0 = make(None)
+        m0.fit(data.train, num_epochs=4, verbose=False, seed=3)
+        W_ref, H_ref = m0.W.copy(), m0.H.copy()
+
+    with use_mesh(MeshContext.create(jax.devices())):
+        m1 = make(None)
+        m1.fit(data.train, num_epochs=2, verbose=False, seed=3,
+               checkpoint_path=p)
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        m2 = make(None)
+        m2.fit(data.train, num_epochs=4, verbose=False, seed=3,
+               checkpoint_path=p, resume=True)
+    np.testing.assert_allclose(m2.W, W_ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(m2.H, H_ref, rtol=2e-3, atol=2e-5)
