@@ -15,7 +15,7 @@ epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
   BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|
-              glove|evaluator|recommend|all
+              glove|glove_packed|evaluator|recommend|all
   BENCH_POOL=P      pool size for bpr_pool (default 1024)
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
@@ -499,31 +499,106 @@ def bench_expomf():
             "vs_baseline": round(1.0 / dt, 2)}
 
 
-def bench_glove():
-    """GloVe triple rate: 50k vocab, ~3M co-occurrence triples, d=50."""
+def _glove_stream(small):
     from scipy import sparse
-
-    from cymf_tpu.models.glove import GloVe
-
-    small = os.environ.get("BENCH_SMALL") == "1"
     V = 5000 if small else 50000
     nnz = 200_000 if small else 3_000_000
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    B = -(-B // 1024) * 1024
     rng = np.random.default_rng(0)
     r = rng.integers(0, V, nnz)
     c = rng.integers(0, V, nnz)
     X = sparse.csr_matrix(
         (rng.integers(1, 50, nnz).astype(np.float64), (r, c)), shape=(V, V))
+    coo = X.tocoo()
+    S = max(1, X.nnz // B)
+    c2 = coo.row.astype(np.int32)[:S * B].reshape(S, B)
+    x2 = coo.col.astype(np.int32)[:S * B].reshape(S, B)
+    n2 = coo.data[:S * B].reshape(S, B)
+    order = np.argsort(c2, axis=1, kind="stable")
+    return (V, S, B, rng,
+            np.take_along_axis(c2, order, 1),
+            np.take_along_axis(x2, order, 1),
+            np.take_along_axis(n2, order, 1))
+
+
+def bench_glove(packed: str = "off"):
+    """GloVe epoch rate: 50k vocab, ~3M co-occurrence triples, d=50,
+    fused-bias AdaGrad, streams resident before timing (the bench
+    convention — GloVe's streams are static per fit, so the trainer
+    really does pay prep/upload once).  ``packed='on'`` benches the
+    packed fused engine (`ops/glove_epoch.py`); default is the XLA
+    batch engine."""
+    import jax
+    import jax.numpy as jnp
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    V, S, B, rng, c2, x2, n2 = _glove_stream(small)
+    K = 50
     epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
-    np.random.seed(0)
-    m = GloVe(num_components=50, batch_size=131072)
-    m.fit(X, num_epochs=1, verbose=False)  # compile
-    t0 = time.perf_counter()
-    m.fit(X, num_epochs=epochs, verbose=False)
-    _ = m.W
-    dt = (time.perf_counter() - t0) / epochs
-    rate = X.nnz / dt
-    return {"metric": "glove_triples_per_sec", "value": round(rate, 1),
+    Zc_np = np.concatenate(
+        [rng.normal(size=(V, K)) * 0.1, rng.normal(size=(V, 1)),
+         np.ones((V, 1))], axis=1).astype(np.float32)
+    Zx_np = np.concatenate(
+        [rng.normal(size=(V, K)) * 0.1, np.ones((V, 1)),
+         rng.normal(size=(V, 1))], axis=1).astype(np.float32)
+
+    if packed == "on":
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.glove_epoch import (packed_glove_epoch,
+                                              prep_glove_static)
+        from cymf_tpu.ops.packed_epoch import PackedAdaGrad
+        Kp = K + 2
+        wrows = 256
+        rw = pk.packed_rows(V, Kp, multiple=wrows)
+        rh = pk.logical_rows(V, multiple=wrows)
+        m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
+            c2, x2, n2, V, K, rw, rh, wrows, wrows, 10.0, 0.75)
+        Zc = jnp.asarray(pk.pack_array(Zc_np, Kp, multiple=wrows))
+        Zx = jnp.asarray(pk.pack_logical(Zx_np, Kp, multiple=wrows))
+        dev = [jnp.asarray(a) for a in
+               (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)]
+        opt = PackedAdaGrad(0.01)
+        nv = jnp.asarray(S * B, jnp.int32)
+        interpret = jax.default_backend() != "tpu"
+        state = [Zc, Zx, opt.init(Zc), opt.init(Zx)]
+
+        def run():
+            state[0], state[1], state[2], state[3], loss = \
+                packed_glove_epoch(
+                    state[0], state[1], state[2], state[3], *dev, nv,
+                    lr=0.01, K=K, rw=rw, rh=rh, wrows_w=wrows,
+                    wrows_h=wrows, interpret=interpret)
+            return loss
+    else:
+        from cymf_tpu.models.glove import _glove_epoch_jit
+        opt, fn = _glove_epoch_jit(0.01, 10.0, 0.75, K, V, "dense",
+                                   "fused")
+        Wc, Wx = jnp.asarray(Zc_np), jnp.asarray(Zx_np)
+        # distinct buffers: the epoch donates all 8 state args, and
+        # donating one buffer twice is an XLA aliasing error
+        bc = jnp.zeros((1, 1), jnp.float32)
+        bx = jnp.zeros((1, 1), jnp.float32)
+        st = [Wc, Wx, bc, bx, opt.init(Wc), opt.init(Wx),
+              jnp.ones_like(bc), jnp.ones_like(bx)]
+        c_d, x_d = jnp.asarray(c2), jnp.asarray(x2)
+        n_d = jnp.asarray(n2.astype(np.float32))
+        nv = jnp.asarray(S * B, jnp.int32)
+
+        def run():
+            out = fn(*st, c_d, x_d, n_d, nv)
+            st[:] = out[:8]
+            return out[8]
+
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    rate = S * B / dt
+    tag = "glove_packed" if packed == "on" else "glove"
+    return {"metric": f"{tag}_triples_per_sec", "value": round(rate, 1),
             "unit": "triples/s", "vs_baseline": None}
+
+
+def bench_glove_packed():
+    return bench_glove(packed="on")
 
 
 def bench_evaluator():
@@ -637,6 +712,7 @@ _MODES = {
     "relmf_ml20m": bench_relmf_ml20m,
     "expomf": bench_expomf,
     "glove": bench_glove,
+    "glove_packed": bench_glove_packed,
     "evaluator": bench_evaluator,
     "recommend": bench_recommend,
 }

@@ -180,7 +180,8 @@ class GloVe:
     def __init__(self, num_components: int = 50, learning_rate: float = 0.01,
                  alpha: float = 0.75, x_max: float = 10.0,
                  batch_size: int = 4096, update_mode: str = "auto",
-                 bias_mode: str = "fused", engine: str = "xla"):
+                 bias_mode: str = "fused", engine: str = "xla",
+                 packed: str = "auto"):
         self.num_components = int(num_components)
         self.learning_rate = float(learning_rate)
         self.alpha = float(alpha)
@@ -195,8 +196,46 @@ class GloVe:
         if engine not in ("xla", "pallas"):
             raise ValueError("engine must be 'xla' or 'pallas'")
         self.engine = engine
+        if packed not in ("auto", "on", "off"):
+            raise ValueError("packed must be auto|on|off")
+        self.packed = packed
         self.W = None
         self.bias = None
+
+    def _packed_engine(self, n_samples: int, checkpoint_path) -> bool:
+        """Select the packed fused engine (`ops/glove_epoch.py`):
+        fused-bias single-device fits with a packable augmented payload.
+        ``packed='auto'`` picks it on a real single-device TPU backend;
+        ``packed='on'`` forces it (any backend; warns when a multi-device
+        mesh is being ignored — the stream is identical either way)."""
+        from ..ops.glove_epoch import supports_packed_glove
+        if self.packed == "off" or self.engine != "xla" \
+                or self.bias_mode != "fused" \
+                or not supports_packed_glove(self.num_components):
+            if self.packed == "on":
+                raise ValueError(
+                    "packed='on' requires engine='xla', bias_mode='fused' "
+                    "and num_components <= 124 (the augmented payload K+2 "
+                    "plus two decoration lanes must lane-pack)")
+            return False
+        mesh = current_mesh()
+        if checkpoint_path is not None:
+            if self.packed == "on":
+                raise NotImplementedError(
+                    "the packed GloVe engine does not checkpoint yet; "
+                    "use packed='off' with checkpoint_path")
+            return False
+        if self.packed == "on":
+            if mesh.num_devices > 1:
+                import warnings
+                warnings.warn(
+                    "the packed GloVe engine is single-device: the "
+                    f"{mesh.num_devices}-device mesh is ignored and "
+                    "training runs on the default device", stacklevel=3)
+            return True
+        if mesh.num_devices != 1:
+            return False
+        return jax.default_backend() == "tpu" and n_samples >= 4096
 
     def fit(self, X, num_epochs: int, num_threads: int = 1,
             verbose: bool = False, checkpoint_path=None,
@@ -225,7 +264,11 @@ class GloVe:
 
         N = len(central)
         mesh = current_mesh()
-        B = mesh.pad_rows(min(self.batch_size, max(N, mesh.num_devices)))
+        use_packed = self._packed_engine(N, checkpoint_path)
+        if use_packed:
+            B = -(-min(self.batch_size, max(N, 1)) // 1024) * 1024
+        else:
+            B = mesh.pad_rows(min(self.batch_size, max(N, mesh.num_devices)))
         S = max(1, -(-N // B))
         pad = S * B - N
         if pad:
@@ -251,9 +294,16 @@ class GloVe:
         x2 = context.reshape(S, B)
         n2 = counts.reshape(S, B)
         order = np.argsort(c2, axis=1, kind="stable")
-        central = np.take_along_axis(c2, order, axis=1).reshape(-1)
-        context = np.take_along_axis(x2, order, axis=1).reshape(-1)
-        counts = np.take_along_axis(n2, order, axis=1).reshape(-1)
+        c2 = np.take_along_axis(c2, order, axis=1)
+        x2 = np.take_along_axis(x2, order, axis=1)
+        n2 = np.take_along_axis(n2, order, axis=1)
+        if use_packed:
+            return self._fit_packed_glove(
+                c2, x2, n2, W_central, central_bias, W_context,
+                context_bias, N, num_epochs, verbose, V1, V2)
+        central = c2.reshape(-1)
+        context = x2.reshape(-1)
+        counts = n2.reshape(-1)
 
         dtype = config.param_dtype()
 
@@ -352,6 +402,73 @@ class GloVe:
             self.W_context = np.asarray(Wx[:V2], np.float64)
             self.bias = np.asarray(bc[:V1, 0], np.float64)
             self.context_bias = np.asarray(bx[:V2, 0], np.float64)
+        self.W = (self.W_central + self.W_context) / 2.0  # glove.pyx:112
+
+    def _fit_packed_glove(self, c2, x2, n2, W_central, central_bias,
+                          W_context, context_bias, N, num_epochs, verbose,
+                          V1, V2):
+        """Packed fused engine (`ops/glove_epoch.py`): lane-packed
+        augmented central table, logical augmented context table, the
+        fused sample kernel and scatter-free windowed MXU accumulation —
+        the BPR fast path applied to GloVe.  All streams are static per
+        fit (no negative sampling), so epochs replay one jitted scan with
+        zero per-epoch host work.  Fused-bias AdaGrad semantics identical
+        to the XLA epoch (`_glove_epoch`)."""
+        from ..ops import packed as pk
+        from ..ops.glove_epoch import (packed_glove_epoch,
+                                       prep_glove_static)
+
+        K = self.num_components
+        Kp = K + 2
+        wrows_w, wrows_h = 256, 256
+        rw = pk.packed_rows(V1, Kp, multiple=wrows_w)
+        rh = pk.logical_rows(V2, multiple=wrows_h)
+        interpret = jax.default_backend() != "tpu"
+
+        m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
+            c2, x2, n2, V1, K, rw, rh, wrows_w, wrows_h, self.x_max,
+            self.alpha)
+
+        # augmented layout: [w | b_central | 1] . [h | 1 | b_context]
+        Zc_np = np.concatenate(
+            [W_central, central_bias[:, None], np.ones((V1, 1))], axis=1)
+        Zx_np = np.concatenate(
+            [W_context, np.ones((V2, 1)), context_bias[:, None]], axis=1)
+        Zc = jnp.asarray(pk.pack_array(Zc_np.astype(np.float32), Kp,
+                                       multiple=wrows_w))
+        Zx = jnp.asarray(pk.pack_logical(Zx_np.astype(np.float32), Kp,
+                                         multiple=wrows_h))
+        from ..ops.packed_epoch import PackedAdaGrad
+        opt = PackedAdaGrad(self.learning_rate)
+        oc, ox = opt.init(Zc), opt.init(Zx)
+
+        dev = [jnp.asarray(a) for a in
+               (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)]
+        n_valid = jnp.asarray(N, jnp.int32)
+
+        loss = None
+        with tqdm(total=num_epochs, leave=True, ncols=100,
+                  disable=not verbose) as progress:
+            for it in range(num_epochs):
+                Zc, Zx, oc, ox, loss = packed_glove_epoch(
+                    Zc, Zx, oc, ox, *dev, n_valid,
+                    lr=self.learning_rate, K=K, rw=rw, rh=rh,
+                    wrows_w=wrows_w, wrows_h=wrows_h,
+                    interpret=interpret)
+                progress.set_description(
+                    f"ITER={it + 1:{len(str(num_epochs))}}, "
+                    f"LOSS: {float(jax.device_get(loss)):.4f}")
+                progress.update(1)
+
+        self.last_loss = float(jax.device_get(loss)) if loss is not None \
+            else None
+        s = pk.num_slots(Kp)
+        Zc_log = np.asarray(Zc)[:, :s * Kp].reshape(-1, Kp)[:V1]
+        Zx_log = np.asarray(Zx)[:V2, :Kp]
+        self.W_central = Zc_log[:, :K].astype(np.float64)
+        self.bias = Zc_log[:, K].astype(np.float64)
+        self.W_context = Zx_log[:, :K].astype(np.float64)
+        self.context_bias = Zx_log[:, K + 1].astype(np.float64)
         self.W = (self.W_central + self.W_context) / 2.0  # glove.pyx:112
 
     def save_word2vec_format(self, path, index2word):

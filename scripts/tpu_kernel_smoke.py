@@ -160,6 +160,46 @@ def run_wide(U, I, K, B, S, wrows, interpret):
     return W, H, float(loss), time.perf_counter() - t0
 
 
+def run_glove(V1, V2, K, B, S, wrows, interpret):
+    import jax.numpy as jnp
+
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.glove_epoch import (packed_glove_epoch,
+                                          prep_glove_static)
+    from cymf_tpu.ops.packed_epoch import PackedAdaGrad
+
+    rng = np.random.default_rng(7)
+    Kp = K + 2
+    c2 = np.sort(rng.integers(0, V1, (S, B)).astype(np.int32), axis=1)
+    x2 = rng.integers(0, V2, (S, B)).astype(np.int32)
+    n2 = rng.integers(1, 40, (S, B)).astype(np.float64)
+    rw = pk.packed_rows(V1, Kp, multiple=wrows)
+    rh = pk.logical_rows(V2, multiple=wrows)
+    m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
+        c2, x2, n2, V1, K, rw, rh, wrows, wrows, 10.0, 0.75)
+    Zc_np = np.concatenate(
+        [rng.normal(size=(V1, K)) * 0.1, rng.normal(size=(V1, 1)),
+         np.ones((V1, 1))], axis=1).astype(np.float32)
+    Zx_np = np.concatenate(
+        [rng.normal(size=(V2, K)) * 0.1, np.ones((V2, 1)),
+         rng.normal(size=(V2, 1))], axis=1).astype(np.float32)
+    Zc = jnp.asarray(pk.pack_array(Zc_np, Kp, multiple=wrows))
+    Zx = jnp.asarray(pk.pack_logical(Zx_np, Kp, multiple=wrows))
+    opt = PackedAdaGrad(LR)
+    t0 = time.perf_counter()
+    Zc2, Zx2, _, _, loss = packed_glove_epoch(
+        Zc, Zx, opt.init(Zc), opt.init(Zx),
+        *(jnp.asarray(a) for a in
+          (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)),
+        jnp.asarray(S * B, jnp.int32), lr=LR, K=K, rw=rw, rh=rh,
+        wrows_w=wrows, wrows_h=wrows, interpret=interpret)
+    loss = float(loss)
+    s = pk.num_slots(Kp)
+    W = np.asarray(Zc2)[:, :s * Kp].reshape(-1, Kp)[:V1]
+    H = np.asarray(Zx2)[:V2, :Kp]
+    return W, H, loss, time.perf_counter() - t0
+
+
 LR = 0.02  # must match run_* lr — the Adam sign-flip drift scale
 
 
@@ -258,6 +298,18 @@ def main():
     except Exception as e:
         results["wide_d256"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
         print(f"  wide_d256: FAIL {type(e).__name__}: {e}", flush=True)
+
+    print("[glove] packed fused-bias epoch (K=50)", flush=True)
+    try:
+        W_t, H_t, l_t, dt = run_glove(12000, 9000, 50, 8192, 2, 256,
+                                      interpret=not on_tpu)
+        print(f"  compiled+ran in {dt:.1f}s", flush=True)
+        W_r, H_r, l_r, _ = run_glove(12000, 9000, 50, 8192, 2, 256,
+                                     interpret=True)
+        _cmp("glove_packed", (W_t, H_t, l_t), (W_r, H_r, l_r), results)
+    except Exception as e:
+        results["glove_packed"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        print(f"  glove_packed: FAIL {type(e).__name__}: {e}", flush=True)
 
     # which version does the headline bench run? (host-side prep only)
     try:
