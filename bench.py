@@ -511,6 +511,9 @@ def _glove_stream(small):
     X = sparse.csr_matrix(
         (rng.integers(1, 50, nnz).astype(np.float64), (r, c)), shape=(V, V))
     coo = X.tocoo()
+    # clamp the batch to the triple count (BENCH_BATCH > nnz would fail
+    # the reshape below)
+    B = min(B, max(1024, (X.nnz // 1024) * 1024))
     S = max(1, X.nnz // B)
     c2 = coo.row.astype(np.int32)[:S * B].reshape(S, B)
     x2 = coo.col.astype(np.int32)[:S * B].reshape(S, B)
@@ -536,12 +539,12 @@ def bench_glove(packed: str = "off"):
     V, S, B, rng, c2, x2, n2 = _glove_stream(small)
     K = 50
     epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
-    Zc_np = np.concatenate(
-        [rng.normal(size=(V, K)) * 0.1, rng.normal(size=(V, 1)),
-         np.ones((V, 1))], axis=1).astype(np.float32)
-    Zx_np = np.concatenate(
-        [rng.normal(size=(V, K)) * 0.1, np.ones((V, 1)),
-         rng.normal(size=(V, 1))], axis=1).astype(np.float32)
+    from cymf_tpu.ops.glove_epoch import augment_tables
+    Zc_np, Zx_np = augment_tables(
+        rng.normal(size=(V, K)) * 0.1, rng.normal(size=(V, 1)),
+        rng.normal(size=(V, K)) * 0.1, rng.normal(size=(V, 1)))
+    Zc_np = Zc_np.astype(np.float32)
+    Zx_np = Zx_np.astype(np.float32)
 
     if packed == "on":
         from cymf_tpu.ops import packed as pk

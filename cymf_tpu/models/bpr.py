@@ -159,6 +159,18 @@ def choose_update_mode(mode: str, batch_rows: int, table_rows: int) -> str:
 
 
 @functools.lru_cache(maxsize=16)
+def _sharded_packed_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
+                              K: int, rw: int, rh: int, wrows_w: int,
+                              wrows_h: int, interpret: bool):
+    """Cached jitted shard_map PACKED epoch per (mesh, config) — like
+    :func:`_sharded_epoch_jit`, repeated fits (warm starts, HPO sweeps)
+    must not pay a fresh remote compile."""
+    from ..parallel.shard_step import sharded_packed_bpr_epoch
+    return sharded_packed_bpr_epoch(mesh, opt_name, lr, wd, K, rw, rh,
+                                    wrows_w, wrows_h, interpret)
+
+
+@functools.lru_cache(maxsize=16)
 def _sharded_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
                        num_users: int, num_items: int):
     """Cached (optimizer, jitted shard_map epoch) per (mesh, config) —
@@ -699,7 +711,6 @@ class BPR(MFTrainerBase, PersistenceMixin):
                                         prep_epoch, prep_shard_epoch,
                                         prep_shard_static, unpack_device)
         from ..parallel.mesh import ROW_AXIS
-        from ..parallel.shard_step import sharded_packed_bpr_epoch
 
         if self.neg_pool:
             raise ValueError(
@@ -742,7 +753,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
         u_d, i_d, si_d, rowsi_d, wini_d, winw_d = (
             put_s(a) for a in (u_loc, i_loc, si, rowsi, wini, winw))
         n_valid = jnp.asarray(N, jnp.int32)
-        epoch_fn_jit = sharded_packed_bpr_epoch(
+        epoch_fn_jit = _sharded_packed_epoch_jit(
             mesh, self.optimizer, self.learning_rate, self.weight_decay,
             K, rw, rh, wrows_w, wrows_h, interpret)
 
@@ -772,7 +783,7 @@ class BPR(MFTrainerBase, PersistenceMixin):
             j2, mask, _, _, _ = prep_epoch(
                 rng, u2, i2, pos_keys, U, I, K, rh, wrows_h,
                 native_seed=seed * 1_000_003 + epoch,
-                key_filter=self._key_filter)
+                key_filter=self._key_filter, sides=False)
             j_loc, mf, sj, rowsj, winj = prep_shard_epoch(
                 j2, mask, starts, counts, Bd, rh, wrows_h, n)
             Wp, Hp, ow, oh, self._last_loss_dev = epoch_fn_jit(

@@ -202,7 +202,7 @@ class GloVe:
         self.W = None
         self.bias = None
 
-    def _packed_engine(self, n_samples: int, checkpoint_path) -> bool:
+    def _packed_engine(self, n_samples: int) -> bool:
         """Select the packed fused engine (`ops/glove_epoch.py`):
         fused-bias single-device fits with a packable augmented payload.
         ``packed='auto'`` picks it on a real single-device TPU backend;
@@ -219,12 +219,6 @@ class GloVe:
                     "plus two decoration lanes must lane-pack)")
             return False
         mesh = current_mesh()
-        if checkpoint_path is not None:
-            if self.packed == "on":
-                raise NotImplementedError(
-                    "the packed GloVe engine does not checkpoint yet; "
-                    "use packed='off' with checkpoint_path")
-            return False
         if self.packed == "on":
             if mesh.num_devices > 1:
                 import warnings
@@ -264,7 +258,7 @@ class GloVe:
 
         N = len(central)
         mesh = current_mesh()
-        use_packed = self._packed_engine(N, checkpoint_path)
+        use_packed = self._packed_engine(N)
         if use_packed:
             B = -(-min(self.batch_size, max(N, 1)) // 1024) * 1024
         else:
@@ -300,7 +294,8 @@ class GloVe:
         if use_packed:
             return self._fit_packed_glove(
                 c2, x2, n2, W_central, central_bias, W_context,
-                context_bias, N, num_epochs, verbose, V1, V2)
+                context_bias, N, num_epochs, verbose, V1, V2,
+                checkpoint_path, checkpoint_every, resume)
         central = c2.reshape(-1)
         context = x2.reshape(-1)
         counts = n2.reshape(-1)
@@ -318,11 +313,9 @@ class GloVe:
             return jax.device_put(jnp.asarray(T, dtype), mesh.table())
 
         if self.bias_mode == "fused":
-            # augmented layout: [w | b_central | 1] . [h | 1 | b_context]
-            Wc_np = np.concatenate(
-                [W_central, central_bias[:, None], np.ones((V1, 1))], axis=1)
-            Wx_np = np.concatenate(
-                [W_context, np.ones((V2, 1)), context_bias[:, None]], axis=1)
+            from ..ops.glove_epoch import augment_tables
+            Wc_np, Wx_np = augment_tables(W_central, central_bias,
+                                          W_context, context_bias)
             Wc, Wx = table(Wc_np), table(Wx_np)
             bc, bx = table(np.zeros(1)), table(np.zeros(1))  # unused
         else:
@@ -406,7 +399,8 @@ class GloVe:
 
     def _fit_packed_glove(self, c2, x2, n2, W_central, central_bias,
                           W_context, context_bias, N, num_epochs, verbose,
-                          V1, V2):
+                          V1, V2, checkpoint_path=None, checkpoint_every=1,
+                          resume=False):
         """Packed fused engine (`ops/glove_epoch.py`): lane-packed
         augmented central table, logical augmented context table, the
         fused sample kernel and scatter-free windowed MXU accumulation —
@@ -429,11 +423,9 @@ class GloVe:
             c2, x2, n2, V1, K, rw, rh, wrows_w, wrows_h, self.x_max,
             self.alpha)
 
-        # augmented layout: [w | b_central | 1] . [h | 1 | b_context]
-        Zc_np = np.concatenate(
-            [W_central, central_bias[:, None], np.ones((V1, 1))], axis=1)
-        Zx_np = np.concatenate(
-            [W_context, np.ones((V2, 1)), context_bias[:, None]], axis=1)
+        from ..ops.glove_epoch import augment_tables
+        Zc_np, Zx_np = augment_tables(W_central, central_bias,
+                                      W_context, context_bias)
         Zc = jnp.asarray(pk.pack_array(Zc_np.astype(np.float32), Kp,
                                        multiple=wrows_w))
         Zx = jnp.asarray(pk.pack_logical(Zx_np.astype(np.float32), Kp,
@@ -446,10 +438,59 @@ class GloVe:
                (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)]
         n_valid = jnp.asarray(N, jnp.int32)
 
+        def fused_state():
+            # the XLA fused engine's checkpoint schema at single-device
+            # (= logical) shapes — cross-engine resume works both ways.
+            # bc/bx/abc/abx are the fused mode's unused placeholders.
+            return {"Wc": pk.unpack_array(np.asarray(Zc), V1, Kp),
+                    "Wx": np.asarray(Zx)[:V2, :Kp],
+                    "bc": np.zeros((1, 1), np.float32),
+                    "bx": np.zeros((1, 1), np.float32),
+                    "ow": {"accum": pk.unpack_array(
+                        np.asarray(oc["accum"]), V1, Kp)},
+                    "oh": {"accum": np.asarray(ox["accum"])[:V2, :Kp]},
+                    "abc": np.ones((1, 1), np.float32),
+                    "abx": np.ones((1, 1), np.float32)}
+
+        start_epoch = 0
+        if resume and checkpoint_path is not None                 and __import__("os").path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_checkpoint
+            st, last_epoch, _ = load_checkpoint(checkpoint_path,
+                                                fused_state())
+            start_epoch = last_epoch + 1
+
+            def repack_w(a):  # logical (V1, Kp) -> packed, ones filler
+                p = pk.pack_array(np.asarray(a), Kp, multiple=wrows_w)
+                return np.where(pk.pack_array(
+                    np.ones((V1, Kp), np.float32), Kp,
+                    multiple=wrows_w) > 0, p, 1.0)
+
+            def repack_h(a):  # logical (V2, Kp) -> (rh, 128), ones filler
+                p = pk.pack_logical(np.asarray(a), Kp, multiple=wrows_h)
+                return np.where(pk.pack_logical(
+                    np.ones((V2, Kp), np.float32), Kp,
+                    multiple=wrows_h) > 0, p, 1.0)
+
+            Zc = jnp.asarray(pk.pack_array(
+                np.asarray(st["Wc"]).astype(np.float32), Kp,
+                multiple=wrows_w))
+            Zx = jnp.asarray(pk.pack_logical(
+                np.asarray(st["Wx"]).astype(np.float32), Kp,
+                multiple=wrows_h))
+            # off-payload accumulator positions must be ONES (the
+            # initializer): a zero accum with zero gradient is
+            # 0 * rsqrt(0) = NaN on lanes the kernels never read but
+            # the tables would still carry
+            oc = {"accum": jnp.asarray(repack_w(st["ow"]["accum"]))}
+            ox = {"accum": jnp.asarray(repack_h(st["oh"]["accum"]))}
+
+        from ..utils.checkpoint import AsyncCheckpointer
+        ckpt = AsyncCheckpointer() if checkpoint_path else None
+
         loss = None
         with tqdm(total=num_epochs, leave=True, ncols=100,
-                  disable=not verbose) as progress:
-            for it in range(num_epochs):
+                  initial=start_epoch, disable=not verbose) as progress:
+            for it in range(start_epoch, num_epochs):
                 Zc, Zx, oc, ox, loss = packed_glove_epoch(
                     Zc, Zx, oc, ox, *dev, n_valid,
                     lr=self.learning_rate, K=K, rw=rw, rh=rh,
@@ -459,11 +500,14 @@ class GloVe:
                     f"ITER={it + 1:{len(str(num_epochs))}}, "
                     f"LOSS: {float(jax.device_get(loss)):.4f}")
                 progress.update(1)
+                if ckpt and (it + 1) % checkpoint_every == 0:
+                    ckpt.save(checkpoint_path, fused_state(), it)
+        if ckpt:
+            ckpt.wait()
 
         self.last_loss = float(jax.device_get(loss)) if loss is not None \
             else None
-        s = pk.num_slots(Kp)
-        Zc_log = np.asarray(Zc)[:, :s * Kp].reshape(-1, Kp)[:V1]
+        Zc_log = pk.unpack_array(np.asarray(Zc), V1, Kp)
         Zx_log = np.asarray(Zx)[:V2, :Kp]
         self.W_central = Zc_log[:, :K].astype(np.float64)
         self.bias = Zc_log[:, K].astype(np.float64)
@@ -511,10 +555,9 @@ class GloVe:
         f = np.minimum((counts / self.x_max) ** self.alpha, 1.0)
         logcnt = np.log(np.maximum(counts, 1e-30))
 
-        Wc_aug = np.concatenate(
-            [W_central, central_bias[:, None], np.ones((V1, 1))], axis=1)
-        Wx_aug = np.concatenate(
-            [W_context, np.ones((V2, 1)), context_bias[:, None]], axis=1)
+        from ..ops.glove_epoch import augment_tables
+        Wc_aug, Wx_aug = augment_tables(W_central, central_bias,
+                                        W_context, context_bias)
         Wp = pack_table(Wc_aug.astype(np.float32), "adagrad")
         Xp = pack_table(Wx_aug.astype(np.float32), "adagrad")
 

@@ -47,6 +47,26 @@ from .sorted_accum import sorted_accum
 LANES = 128
 
 
+def augment_tables(W_central, central_bias, W_context, context_bias):
+    """The fused-bias augmented layout — THE column order the freeze
+    masks in :func:`packed_glove_epoch` (and the XLA epoch's gradient
+    masks) depend on:
+
+        Zc = [w | b_central | 1]        Zx = [h | 1 | b_context]
+
+    so ``Zc . Zx = w.h + b_c + b_x``.  Single source of truth for every
+    engine (XLA fused, Pallas, packed) and the bench/smoke harnesses."""
+    V1 = W_central.shape[0]
+    V2 = W_context.shape[0]
+    Zc = np.concatenate(
+        [W_central, np.asarray(central_bias).reshape(V1, 1),
+         np.ones((V1, 1))], axis=1)
+    Zx = np.concatenate(
+        [W_context, np.ones((V2, 1)),
+         np.asarray(context_bias).reshape(V2, 1)], axis=1)
+    return Zc, Zx
+
+
 def supports_packed_glove(K: int) -> bool:
     """Gate: the augmented payload ``Kp = K + 2`` must pack (>= 1 slot)
     and the context decoration needs lanes ``Kp`` and ``Kp + 1`` free in

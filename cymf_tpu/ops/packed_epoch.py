@@ -725,7 +725,7 @@ def prep_shard_epoch(j2, mask, starts, counts, Bd: int, rh: int,
 def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                pos_keys: np.ndarray, num_users: int, num_items: int, K: int,
                rh: int, wrows_h: int, tile: int = TILE, native_seed=None,
-               key_filter=None):
+               key_filter=None, sides: bool = True):
     """Once per epoch: negative draws, rejection+padding mask, and the
     j-side sort permutation/rows/windows.  Mirrors `bpr.pyx:165-167`: one
     uniform draw per interaction, collisions with known positives masked
@@ -764,6 +764,11 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
                 np.frombuffer(pb, np.int32).reshape(S, B),
                 np.frombuffer(rb, np.int32).reshape(S, B // 128, 128),
                 np.frombuffer(wb, np.int32).reshape(S, 2, rh // wrows_h))
+    # sides=False: the caller re-sorts per shard (the sharded packed
+    # engine) — skip the global j-side argsort/windows and return Nones
+    # in their place.  The native path ignores the flag: its fused C++
+    # pass computes the sorted side for ~free and MUST keep drawing the
+    # same stream as the 1-device engine (mesh-size invariance).
     j2 = rng.integers(0, num_items, (S, B)).astype(np.int32)
     u64 = u2.astype(np.int64)
     in_data = u64 < num_users
@@ -773,5 +778,7 @@ def prep_epoch(rng: np.random.Generator, u2: np.ndarray, i2: np.ndarray,
     collide = (pos_keys[idx] == keys) if len(pos_keys) else \
         np.zeros_like(keys, bool)
     mask = (in_data & ~collide).astype(np.uint8)
+    if not sides:
+        return j2, mask, None, None, None
     sj, rowsj, winj = _sorted_side(j2, rh, wrows_h, tile)
     return j2, mask, sj, rowsj, winj

@@ -177,12 +177,12 @@ def run_glove(V1, V2, K, B, S, wrows, interpret):
     rh = pk.logical_rows(V2, multiple=wrows)
     m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
         c2, x2, n2, V1, K, rw, rh, wrows, wrows, 10.0, 0.75)
-    Zc_np = np.concatenate(
-        [rng.normal(size=(V1, K)) * 0.1, rng.normal(size=(V1, 1)),
-         np.ones((V1, 1))], axis=1).astype(np.float32)
-    Zx_np = np.concatenate(
-        [rng.normal(size=(V2, K)) * 0.1, np.ones((V2, 1)),
-         rng.normal(size=(V2, 1))], axis=1).astype(np.float32)
+    from cymf_tpu.ops.glove_epoch import augment_tables
+    Zc_np, Zx_np = augment_tables(
+        rng.normal(size=(V1, K)) * 0.1, rng.normal(size=(V1, 1)),
+        rng.normal(size=(V2, K)) * 0.1, rng.normal(size=(V2, 1)))
+    Zc_np = Zc_np.astype(np.float32)
+    Zx_np = Zx_np.astype(np.float32)
     Zc = jnp.asarray(pk.pack_array(Zc_np, Kp, multiple=wrows))
     Zx = jnp.asarray(pk.pack_logical(Zx_np, Kp, multiple=wrows))
     opt = PackedAdaGrad(LR)
@@ -194,8 +194,7 @@ def run_glove(V1, V2, K, B, S, wrows, interpret):
         jnp.asarray(S * B, jnp.int32), lr=LR, K=K, rw=rw, rh=rh,
         wrows_w=wrows, wrows_h=wrows, interpret=interpret)
     loss = float(loss)
-    s = pk.num_slots(Kp)
-    W = np.asarray(Zc2)[:, :s * Kp].reshape(-1, Kp)[:V1]
+    W = pk.unpack_array(np.asarray(Zc2), V1, Kp)
     H = np.asarray(Zx2)[:V2, :Kp]
     return W, H, loss, time.perf_counter() - t0
 

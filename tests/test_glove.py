@@ -254,6 +254,64 @@ def test_glove_packed_validation():
         GloVe(num_components=125, packed="on").fit(_toy_cooc(), num_epochs=1)
     with pytest.raises(ValueError):
         GloVe(packed="maybe")
-    with pytest.raises(NotImplementedError, match="checkpoint"):
-        GloVe(num_components=8, packed="on").fit(
-            _toy_cooc(), num_epochs=1, checkpoint_path="/tmp/x.npz")
+
+
+def test_glove_packed_resume_matches_uninterrupted(tmp_path):
+    """Packed-engine checkpoints use the XLA fused schema; mid-fit resume
+    equals the uninterrupted packed fit (streams are static per fit and
+    the shuffle is pinned by the ambient seed)."""
+    X = _toy_cooc(V=60, seed=9)
+    p = str(tmp_path / "gp.npz")
+    kw = dict(num_components=8, batch_size=1024, packed="on",
+              learning_rate=0.05)
+
+    np.random.seed(21)
+    m1 = GloVe(**kw)
+    m1.fit(X, num_epochs=6)
+
+    np.random.seed(21)
+    m2 = GloVe(**kw)
+    m2.fit(X, num_epochs=3, checkpoint_path=p)
+    np.random.seed(21)
+    m3 = GloVe(**kw)
+    m3.fit(X, num_epochs=6, checkpoint_path=p, resume=True)
+
+    np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m3.bias, m1.bias, rtol=1e-4, atol=1e-5)
+
+
+def test_glove_packed_cross_engine_resume(tmp_path):
+    """A checkpoint written by the packed GloVe engine resumes in the XLA
+    fused engine and vice versa.  The shared fused schema stores
+    single-device (logical) shapes, so the XLA side runs on a 1-device
+    mesh here — GloVe checkpoints are mesh-padding-specific across
+    device counts (pre-existing XLA-engine behavior)."""
+    import jax
+
+    from cymf_tpu.parallel import MeshContext, use_mesh
+    X = _toy_cooc(V=60, seed=9)
+    ctx = MeshContext.create(jax.devices()[:1])
+    for src_p, dst_p in (("on", "off"), ("off", "on")):
+        with use_mesh(ctx):
+            p = str(tmp_path / f"ck_{src_p}.npz")
+            kw = dict(num_components=8, batch_size=1024,
+                      learning_rate=0.05)
+            np.random.seed(5)
+            m1 = GloVe(packed=src_p, **kw)
+            m1.fit(X, num_epochs=2, checkpoint_path=p)
+            W1, b1 = m1.W.copy(), m1.bias.copy()
+
+            # resuming with num_epochs == saved epochs runs zero extra
+            # epochs -> must reproduce the checkpointed tables
+            np.random.seed(5)
+            m2 = GloVe(packed=dst_p, **kw)
+            m2.fit(X, num_epochs=2, checkpoint_path=p, resume=True)
+            np.testing.assert_allclose(m2.W, W1, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(m2.bias, b1, rtol=1e-5, atol=1e-6)
+
+            # one further epoch trains through the converted accumulators
+            np.random.seed(5)
+            m3 = GloVe(packed=dst_p, **kw)
+            m3.fit(X, num_epochs=3, checkpoint_path=p, resume=True)
+            assert np.isfinite(m3.W).all()
+            assert not np.allclose(m3.W, W1)
