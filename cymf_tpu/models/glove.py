@@ -90,6 +90,16 @@ def _sharded_glove_kfold_epoch_jit(mesh, lr: float, x_max: float,
                                           num_central)
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_packed_glove_jit(mesh, lr: float, K: int, rw: int, rh: int,
+                              wrows_w: int, wrows_h: int, interpret: bool):
+    """Cached jitted shard_map PACKED GloVe epoch per (mesh, config) —
+    repeated fits must not pay a fresh remote compile."""
+    from ..parallel.shard_step import sharded_packed_glove_epoch
+    return sharded_packed_glove_epoch(mesh, lr, K, rw, rh, wrows_w,
+                                      wrows_h, interpret)
+
+
 @functools.lru_cache(maxsize=64)
 def _glove_epoch_jit(lr: float, x_max: float, alpha: float, K: int,
                      num_central: int, mode: str, bias_mode: str):
@@ -205,9 +215,12 @@ class GloVe:
     def _packed_engine(self, n_samples: int) -> bool:
         """Select the packed fused engine (`ops/glove_epoch.py`):
         fused-bias single-device fits with a packable augmented payload.
-        ``packed='auto'`` picks it on a real single-device TPU backend;
-        ``packed='on'`` forces it (any backend; warns when a multi-device
-        mesh is being ignored — the stream is identical either way)."""
+        ``packed='auto'`` picks it on a real TPU backend;
+        ``packed='on'`` forces it on any backend.  On a multi-device
+        mesh the engine runs its explicit shard_map form
+        (`parallel/shard_step.py::sharded_packed_glove_epoch`) — the
+        stream is identical, so fits are mesh-size-invariant up to
+        float summation order."""
         from ..ops.glove_epoch import supports_packed_glove
         if self.packed == "off" or self.engine != "xla" \
                 or self.bias_mode != "fused" \
@@ -220,15 +233,7 @@ class GloVe:
             return False
         mesh = current_mesh()
         if self.packed == "on":
-            if mesh.num_devices > 1:
-                import warnings
-                warnings.warn(
-                    "the packed GloVe engine is single-device: the "
-                    f"{mesh.num_devices}-device mesh is ignored and "
-                    "training runs on the default device", stacklevel=3)
-            return True
-        if mesh.num_devices != 1:
-            return False
+            return True  # multi-device meshes run the sharded form
         return jax.default_backend() == "tpu" and n_samples >= 4096
 
     def fit(self, X, num_epochs: int, num_threads: int = 1,
@@ -410,32 +415,63 @@ class GloVe:
         to the XLA epoch (`_glove_epoch`)."""
         from ..ops import packed as pk
         from ..ops.glove_epoch import (packed_glove_epoch,
+                                       prep_glove_shard_static,
                                        prep_glove_static)
 
+        mesh = current_mesh()
+        n = mesh.num_devices
         K = self.num_components
         Kp = K + 2
         wrows_w, wrows_h = 256, 256
-        rw = pk.packed_rows(V1, Kp, multiple=wrows_w)
+        # sharded: every shard's row range is a whole number of windows
+        rw = pk.packed_rows(V1, Kp, multiple=wrows_w * n)
         rh = pk.logical_rows(V2, multiple=wrows_h)
         interpret = jax.default_backend() != "tpu"
 
-        m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
-            c2, x2, n2, V1, K, rw, rh, wrows_w, wrows_h, self.x_max,
-            self.alpha)
+        if n > 1:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import ROW_AXIS
+            table_sh = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+            stream_sh = NamedSharding(mesh.mesh, P(ROW_AXIS))
+            put_w = lambda a: jax.device_put(np.asarray(a), table_sh)
+            put_h = lambda a: jax.device_put(np.asarray(a),
+                                             mesh.replicated())
+            (c_l, x_l, m_l, f_l, l_l, winw_l, sx_l, rowsx_l,
+             winx_l, _) = prep_glove_shard_static(
+                c2, x2, n2, V1, K, rw, rh, wrows_w, wrows_h, n,
+                self.x_max, self.alpha)
+            dev = [jax.device_put(np.asarray(a), stream_sh) for a in
+                   (c_l, x_l, m_l, f_l, l_l, sx_l, rowsx_l, winx_l,
+                    winw_l)]
+            epoch_fn = _sharded_packed_glove_jit(
+                mesh, self.learning_rate, K, rw, rh, wrows_w, wrows_h,
+                interpret)
+        else:
+            put_w = put_h = jnp.asarray
+            m2, f2, l2, winw, sx, rowsx, winx = prep_glove_static(
+                c2, x2, n2, V1, K, rw, rh, wrows_w, wrows_h, self.x_max,
+                self.alpha)
+            dev = [jnp.asarray(a) for a in
+                   (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)]
+
+            def epoch_fn(Zc, Zx, oc, ox, *args):
+                return packed_glove_epoch(
+                    Zc, Zx, oc, ox, *args, lr=self.learning_rate, K=K,
+                    rw=rw, rh=rh, wrows_w=wrows_w, wrows_h=wrows_h,
+                    interpret=interpret)
 
         from ..ops.glove_epoch import augment_tables
         Zc_np, Zx_np = augment_tables(W_central, central_bias,
                                       W_context, context_bias)
-        Zc = jnp.asarray(pk.pack_array(Zc_np.astype(np.float32), Kp,
-                                       multiple=wrows_w))
-        Zx = jnp.asarray(pk.pack_logical(Zx_np.astype(np.float32), Kp,
-                                         multiple=wrows_h))
+        Zc = put_w(pk.pack_array(Zc_np.astype(np.float32), Kp,
+                                 multiple=wrows_w * n))
+        Zx = put_h(pk.pack_logical(Zx_np.astype(np.float32), Kp,
+                                   multiple=wrows_h))
         from ..ops.packed_epoch import PackedAdaGrad
         opt = PackedAdaGrad(self.learning_rate)
         oc, ox = opt.init(Zc), opt.init(Zx)
-
-        dev = [jnp.asarray(a) for a in
-               (c2, x2, m2, f2, l2, sx, rowsx, winx, winw)]
         n_valid = jnp.asarray(N, jnp.int32)
 
         def fused_state():
@@ -460,10 +496,11 @@ class GloVe:
             start_epoch = last_epoch + 1
 
             def repack_w(a):  # logical (V1, Kp) -> packed, ones filler
-                p = pk.pack_array(np.asarray(a), Kp, multiple=wrows_w)
+                p = pk.pack_array(np.asarray(a), Kp,
+                                  multiple=wrows_w * n)
                 return np.where(pk.pack_array(
                     np.ones((V1, Kp), np.float32), Kp,
-                    multiple=wrows_w) > 0, p, 1.0)
+                    multiple=wrows_w * n) > 0, p, 1.0)
 
             def repack_h(a):  # logical (V2, Kp) -> (rh, 128), ones filler
                 p = pk.pack_logical(np.asarray(a), Kp, multiple=wrows_h)
@@ -471,18 +508,18 @@ class GloVe:
                     np.ones((V2, Kp), np.float32), Kp,
                     multiple=wrows_h) > 0, p, 1.0)
 
-            Zc = jnp.asarray(pk.pack_array(
+            Zc = put_w(pk.pack_array(
                 np.asarray(st["Wc"]).astype(np.float32), Kp,
-                multiple=wrows_w))
-            Zx = jnp.asarray(pk.pack_logical(
+                multiple=wrows_w * n))
+            Zx = put_h(pk.pack_logical(
                 np.asarray(st["Wx"]).astype(np.float32), Kp,
                 multiple=wrows_h))
             # off-payload accumulator positions must be ONES (the
             # initializer): a zero accum with zero gradient is
             # 0 * rsqrt(0) = NaN on lanes the kernels never read but
             # the tables would still carry
-            oc = {"accum": jnp.asarray(repack_w(st["ow"]["accum"]))}
-            ox = {"accum": jnp.asarray(repack_h(st["oh"]["accum"]))}
+            oc = {"accum": put_w(repack_w(st["ow"]["accum"]))}
+            ox = {"accum": put_h(repack_h(st["oh"]["accum"]))}
 
         from ..utils.checkpoint import AsyncCheckpointer
         ckpt = AsyncCheckpointer() if checkpoint_path else None
@@ -491,11 +528,8 @@ class GloVe:
         with tqdm(total=num_epochs, leave=True, ncols=100,
                   initial=start_epoch, disable=not verbose) as progress:
             for it in range(start_epoch, num_epochs):
-                Zc, Zx, oc, ox, loss = packed_glove_epoch(
-                    Zc, Zx, oc, ox, *dev, n_valid,
-                    lr=self.learning_rate, K=K, rw=rw, rh=rh,
-                    wrows_w=wrows_w, wrows_h=wrows_h,
-                    interpret=interpret)
+                Zc, Zx, oc, ox, loss = epoch_fn(
+                    Zc, Zx, oc, ox, *dev, n_valid)
                 progress.set_description(
                     f"ITER={it + 1:{len(str(num_epochs))}}, "
                     f"LOSS: {float(jax.device_get(loss)):.4f}")

@@ -194,6 +194,57 @@ def prep_glove_static(c2, x2, cnt2, num_central: int, K: int, rw: int,
     return m2, f2, l2, winw, sx, rowsx, winx
 
 
+def prep_glove_shard_static(c2, x2, cnt2, num_central: int, K: int,
+                            rw: int, rh: int, wrows_w: int, wrows_h: int,
+                            n: int, x_max: float, alpha: float,
+                            tile: int = TILE):
+    """Once per fit (sharded packed GloVe): slice the c-sorted streams
+    into ``n`` shard-contiguous pieces (see
+    ``packed_epoch.shard_slices`` — shard ``p`` statically owns packed
+    central rows ``[p*rw/n, (p+1)*rw/n)``), localize central ids, and
+    build per-shard windows, weights and x-side sorted streams.  GloVe
+    has no per-epoch draws, so unlike BPR there is NO per-epoch shard
+    prep at all.
+
+    Returns ``(c_loc, x_loc, m_loc, f_loc, l_loc, winw, sx, rowsx,
+    winx, Bd)`` with a leading shard axis on every array."""
+    from .packed_epoch import shard_slices
+    S, B = c2.shape
+    Kp = K + 2
+    s = pk.num_slots(Kp)
+    starts, counts, Bd = shard_slices(c2, Kp, rw, n, tile)
+    rw_l = rw // n
+    sent = rw_l * s
+    m2 = (c2.astype(np.int64) < num_central).astype(np.uint8)
+    f2 = np.minimum((cnt2 / x_max) ** alpha, 1.0).astype(np.float32)
+    l2 = np.log(np.maximum(cnt2, 1e-30)).astype(np.float32)
+    c_loc = np.full((n, S, Bd), sent, np.int32)
+    x_loc = np.zeros((n, S, Bd), np.int32)
+    m_loc = np.zeros((n, S, Bd), np.uint8)
+    f_loc = np.zeros((n, S, Bd), np.float32)
+    l_loc = np.zeros((n, S, Bd), np.float32)
+    winw = np.empty((n, S, 2, rw_l // wrows_w), np.int32)
+    sx = np.empty((n, S, Bd), np.int32)
+    rowsx = np.empty((n, S, Bd // 128, 128), np.int32)
+    winx = np.empty((n, S, 2, rh // wrows_h), np.int32)
+    c64 = np.asarray(c2, np.int64)
+    for p in range(n):
+        off = np.int64(p) * rw_l * s
+        for t in range(S):
+            a, c = int(starts[t, p]), int(counts[t, p])
+            c_loc[p, t, :c] = np.minimum(c64[t, a:a + c] - off, sent)
+            x_loc[p, t, :c] = x2[t, a:a + c]
+            m_loc[p, t, :c] = m2[t, a:a + c]
+            f_loc[p, t, :c] = f2[t, a:a + c]
+            l_loc[p, t, :c] = l2[t, a:a + c]
+            pu = c_loc[p, t].astype(np.int64) // s
+            winw[p, t, 0], winw[p, t, 1] = window_ranges(
+                pu, rw_l, wrows_w, tile, align=128)
+        sx[p], rowsx[p], winx[p] = _sorted_side(x_loc[p], rh, wrows_h,
+                                                tile)
+    return c_loc, x_loc, m_loc, f_loc, l_loc, winw, sx, rowsx, winx, Bd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lr", "K", "rw", "rh", "wrows_w", "wrows_h",

@@ -732,3 +732,100 @@ def sharded_packed_bpr_epoch(mesh_ctx, opt_name, lr, weight_decay, K,
             n_valid, 1).astype(jnp.float32)
 
     return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))
+
+
+def sharded_packed_glove_epoch(mesh_ctx, lr, K, rw, rh, wrows_w, wrows_h,
+                               interpret, precision="split"):
+    """Explicit shard_map PACKED GloVe epoch — the multi-device form of
+    ``ops.glove_epoch.packed_glove_epoch``, partitioned exactly like
+    :func:`sharded_packed_bpr_epoch`: the packed augmented central table
+    is row-sharded with shard-contiguous sample slices (every central
+    gather, the fused sample kernel, the central accumulation and its
+    AdaGrad pass are fully local), the logical augmented context table is
+    replicated and merged with ONE ``(rh, 128)`` psum per step.  GloVe
+    has no per-epoch draws, so every stream (from
+    ``prep_glove_shard_static``) is static for the whole fit and the
+    fit is mesh-size-invariant up to float summation order.
+
+    Returns ``fn(Zc, Zx, oc, ox, c, x, mf, f, lc, sx, rowsx, winx,
+    winw, n_valid)`` where Zc/oc are row-sharded ``(rw, 128)`` trees,
+    Zx/ox replicated ``(rh, 128)`` trees, and every stream carries a
+    leading shard axis ``n``.
+    """
+    from ..ops import packed as pk
+    from ..ops.glove_epoch import decorate_x, glove_sample_phase
+    from ..ops.fused_sample import decorate
+    from ..ops.packed_epoch import (TILE, PackedAdaGrad, _fold_rows,
+                                    _pad_lanes)
+    from ..ops.sorted_accum import sorted_accum
+
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    Kp = K + 2
+    opt = PackedAdaGrad(lr)
+    s = pk.num_slots(Kp)
+    cb = pk.count_base(Kp)
+    rw_l = rw // n
+    lane = jnp.arange(128)
+    freeze_c = jnp.pad(
+        ((lane[:cb] % Kp) != K + 1).astype(jnp.float32)[None, :],
+        ((0, 0), (0, 128 - cb)))
+    freeze_x = ((lane < Kp) & (lane != K)).astype(jnp.float32)[None, :]
+
+    def epoch(Zc, Zx, oc, ox, c, x, mf, f, lc, sx, rowsx, winx, winw,
+              n_valid):
+
+        def device_epoch(Zc_l, Zx, oc_l, ox, c, x, mf, f, lc, sx, rowsx,
+                         winx, winw):
+            c, x, mf, f, lc, sx, rowsx, winx, winw = (
+                a[0] for a in (c, x, mf, f, lc, sx, rowsx, winx, winw))
+
+            def step(carry, xs):
+                Zc_l, Zx, oc_l, ox, loss_acc = carry
+                c, x, mf, f, lc, sx, rowsx, wx, ww = xs
+                mf = mf.astype(jnp.float32)
+                phys, slot = c // s, c % s
+                Du = decorate(Zc_l.at[jnp.minimum(phys, rw_l - 1)].get(
+                    indices_are_sorted=True, mode="promise_in_bounds"),
+                    slot, mf, Kp)
+                Dx = decorate_x(Zx.at[x].get(mode="promise_in_bounds"),
+                                f, lc, Kp)
+                SW, Q, lossp = glove_sample_phase(Du, Dx, Kp=Kp,
+                                                  interpret=interpret)
+                Ac = sorted_accum(
+                    _fold_rows(phys), SW, ww[0], ww[1], r_pad=rw_l,
+                    wrows=wrows_w, tile=TILE, interpret=interpret,
+                    precision=precision)
+                gc, _ = pk.split_counts(Ac, Kp)
+                Zc_l, oc_l = opt.update(Zc_l, oc_l,
+                                        _pad_lanes(gc) * freeze_c,
+                                        None, Kp)
+                D = sorted_accum(
+                    rowsx, Q[sx], wx[0], wx[1], r_pad=rh, wrows=wrows_h,
+                    tile=TILE, interpret=interpret, precision=precision)
+                # THE collective: merge per-shard context gradients
+                D = jax.lax.psum(D, ROW_AXIS)
+                loss_step = jax.lax.psum(lossp[0, 0], ROW_AXIS)
+                # replicated-deterministic context update
+                Zx, ox = opt.update(Zx, ox, D * freeze_x, None, Kp)
+                return (Zc_l, Zx, oc_l, ox, loss_acc + loss_step), None
+
+            init = (Zc_l, Zx, oc_l, ox, jnp.zeros((), jnp.float32))
+            (Zc_l, Zx, oc_l, ox, loss), _ = jax.lax.scan(
+                step, init, (c, x, mf, f, lc, sx, rowsx, winx, winw))
+            return Zc_l, Zx, oc_l, ox, loss
+
+        table = P(ROW_AXIS, None)
+        stream = P(ROW_AXIS)
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table, rep, table, rep) + (stream,) * 9,
+            out_specs=(table, rep, table, rep, rep),
+            check_vma=False)
+        Zc, Zx, oc, ox, loss = fn(Zc, Zx, oc, ox, c, x, mf, f, lc, sx,
+                                  rowsx, winx, winw)
+        return Zc, Zx, oc, ox, loss / jnp.maximum(
+            n_valid, 1).astype(jnp.float32)
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))

@@ -340,3 +340,35 @@ def test_bpr_packed_sharded_resume_cross_mesh(data, tmp_path):
                checkpoint_path=p, resume=True)
     np.testing.assert_allclose(m2.W, W_ref, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(m2.H, H_ref, rtol=2e-3, atol=2e-5)
+
+
+def test_glove_packed_sharded_same_result_1dev_vs_8dev():
+    """The packed GloVe engine's shard_map form (row-sharded packed
+    central table, replicated context table, one psum per step) must
+    equal single-device packed training — streams are static per fit
+    and sliced from the same global sort."""
+    from scipy import sparse
+
+    from cymf_tpu import GloVe
+    rng = np.random.default_rng(8)
+    V = 90
+    dense = (rng.random((V, V)) < 0.1) * rng.integers(1, 30, (V, V))
+    np.fill_diagonal(dense, 0)
+    X = sparse.csr_matrix(dense.astype(np.float64))
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            np.random.seed(6)
+            m = GloVe(num_components=8, batch_size=1024, packed="on",
+                      learning_rate=0.05)
+            m.fit(X, num_epochs=4)
+            return (m.W_central.copy(), m.W_context.copy(),
+                    m.bias.copy(), m.context_bias.copy(), m.last_loss)
+
+    Wc1, Wx1, b1, bx1, l1 = run(jax.devices()[:1])
+    Wc8, Wx8, b8, bx8, l8 = run(jax.devices())
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    np.testing.assert_allclose(Wc8, Wc1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(Wx8, Wx1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(b8, b1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(bx8, bx1, rtol=2e-3, atol=2e-5)

@@ -610,3 +610,54 @@ def test_sharded_bpr_compiles_at_ml20m_shapes():
     assert not offenders, \
         "beyond-batch-sized collectives at ML-20M shapes:\n" + \
         "\n".join(offenders)
+
+
+def test_glove_packed_sharded_collectives_are_one_context_psum():
+    """The sharded packed GloVe epoch's ONLY collective payload is the
+    (rh, 128) context-gradient psum (+ scalars) — the row-sharded packed
+    central table and the per-shard streams never cross devices."""
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.glove_epoch import prep_glove_shard_static
+    from cymf_tpu.ops.packed_epoch import PackedAdaGrad
+    from cymf_tpu.parallel.shard_step import sharded_packed_glove_epoch
+
+    V1, V2, K, B, S, wr, n = 2000, 150, 8, 8192, 1, 16, 8
+    Kp = K + 2
+    mesh = MeshContext.create(jax.devices()[:n])
+    rng = np.random.default_rng(0)
+    c2 = np.sort(rng.integers(0, V1, (S, B)).astype(np.int32), axis=1)
+    x2 = rng.integers(0, V2, (S, B)).astype(np.int32)
+    n2 = rng.integers(1, 40, (S, B)).astype(np.float64)
+    rw = pk.packed_rows(V1, Kp, multiple=wr * n)
+    rh = pk.logical_rows(V2, multiple=wr)
+    (c_l, x_l, m_l, f_l, l_l, winw, sx, rowsx, winx,
+     Bd) = prep_glove_shard_static(c2, x2, n2, V1, K, rw, rh, wr, wr, n,
+                                   10.0, 0.75)
+    Zc = jnp.asarray(pk.pack_array(
+        rng.normal(size=(V1, Kp)).astype(np.float32), Kp,
+        multiple=wr * n))
+    Zx = jnp.asarray(pk.pack_logical(
+        rng.normal(size=(V2, Kp)).astype(np.float32), Kp, multiple=wr))
+    opt = PackedAdaGrad(0.05)
+    fn = sharded_packed_glove_epoch(mesh, 0.05, K, rw, rh, wr, wr,
+                                    interpret=True)
+    compiled = fn.lower(
+        Zc, Zx, opt.init(Zc), opt.init(Zx),
+        *(jnp.asarray(a) for a in (c_l, x_l, m_l, f_l, l_l, sx, rowsx,
+                                   winx, winw)),
+        jnp.asarray(S * B, jnp.int32)).compile()
+    text = compiled.as_text()
+    assert "all-reduce" in text
+    allowed = rh * 128
+    offenders = []
+    for line in text.splitlines():
+        if not any(c in line for c in _COLLECTIVES):
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line):
+            dims = [int(d) for d in shape.split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            if elems > allowed:
+                offenders.append(line.strip()[:160])
+    assert not offenders, \
+        "collectives beyond the context psum:\n" + "\n".join(offenders)
+    assert Bd < B  # the stream really is partitioned
