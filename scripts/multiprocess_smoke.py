@@ -52,9 +52,14 @@ def _fit(out_path: str | None):
         m = BPR(num_components=8, learning_rate=0.02, batch_size=128)
         m.fit(X, num_epochs=4, verbose=False, seed=3)
         W, H = np.asarray(m.W), np.asarray(m.H)
+        # the sharded PACKED engine (round 4) on the same mesh
+        mp_ = BPR(num_components=8, learning_rate=0.02, batch_size=128,
+                  packed="on")
+        mp_.fit(X, num_epochs=4, verbose=False, seed=3)
+        Wp, Hp = np.asarray(mp_.W), np.asarray(mp_.H)
     if out_path and jax.process_index() == 0:
-        np.savez(out_path, W=W, H=H)
-    return W, H
+        np.savez(out_path, W=W, H=H, Wp=Wp, Hp=Hp)
+    return W, H, Wp, Hp
 
 
 def child_main(args):
@@ -104,12 +109,15 @@ def parent_main(args):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
-    W1, H1 = _fit(None)
+    W1, H1, Wp1, Hp1 = _fit(None)
     with np.load(out) as z:
-        W2, H2 = z["W"], z["H"]
+        W2, H2, Wp2, Hp2 = z["W"], z["H"], z["Wp"], z["Hp"]
     np.testing.assert_allclose(W2, W1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(H2, H1, rtol=2e-3, atol=2e-5)
-    print("multiprocess smoke: 2-process result == single-process result")
+    np.testing.assert_allclose(Wp2, Wp1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(Hp2, Hp1, rtol=2e-3, atol=2e-5)
+    print("multiprocess smoke: 2-process result == single-process result "
+          "(XLA and packed engines)")
 
 
 def _free_port() -> int:
