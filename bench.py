@@ -15,7 +15,7 @@ epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
   BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|
-              glove|glove_packed|evaluator|recommend|all
+              relmf_packed|glove|glove_packed|evaluator|recommend|all
   BENCH_POOL=P      pool size for bpr_pool (default 1024)
   BENCH_SMALL=1     quick smoke run (1M interactions)
   BENCH_BATCH=N     override batch size (default 131072)
@@ -399,15 +399,88 @@ def bench_relmf():
     data = SyntheticImplicitDataset(num_user=U, num_item=I, rank=8,
                                     density=0.04, seed=0)
     epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
-    m = RelMF(num_components=20, batch_size=131072)
+    # packed='off': end-to-end fit() through THIS dev relay penalizes the
+    # packed engine's host-drawn streams ~25x (380MB/epoch at ~50MB/s vs
+    # GB/s DMA on a real host) — its honest device rate is the
+    # relmf_packed mode (45.4M cells/s vs this XLA path's ~19M e2e)
+    m = RelMF(num_components=20, batch_size=131072, packed="off")
     m.fit(data.train, num_epochs=1, verbose=False)  # compile
     t0 = time.perf_counter()
     m.fit(data.train, num_epochs=epochs, verbose=False)
     _ = m.W
     dt = (time.perf_counter() - t0) / epochs
     rate = m._samples_per_epoch / dt
+    eng = "packed" if getattr(m, "packed_engine_", False) else "xla"
     return {"metric": "relmf_cells_per_sec", "value": round(rate, 1),
-            "unit": "sampled cells/s", "vs_baseline": round(rate / 4.8e6, 2)}
+            "unit": f"sampled cells/s (end-to-end fit, {eng} engine)",
+            "vs_baseline": round(rate / 4.8e6, 2)}
+
+
+def bench_relmf_packed():
+    """Packed RelMF EPOCH rate at ml-1m shapes: streams prepped/resident
+    before timing (the kernel rate; per-epoch native prep measured
+    separately at ~0.3s — overlappable with the device epoch on a real
+    host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.dataset import SyntheticImplicitDataset
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
+                                           make_reject_filter)
+    from cymf_tpu.ops.relmf_epoch import (packed_relmf_epoch,
+                                          prep_relmf_epoch)
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = (1200, 800) if small else (6040, 3706)
+    K = int(os.environ.get("BENCH_DIM", "20"))
+    B = int(os.environ.get("BENCH_BATCH", "131072"))
+    B = -(-B // 1024) * 1024
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
+    data = SyntheticImplicitDataset(num_user=U, num_item=I, rank=8,
+                                    density=0.04, seed=0)
+    X = data.train.tocoo()
+    pos_keys = np.sort(X.row.astype(np.int64) * I + X.col)
+    kf = make_reject_filter(pos_keys, U, I)
+    col_mean = np.asarray(data.train.mean(axis=0)).flatten()
+    props = np.maximum(col_mean / max(col_mean.max(), 1e-12), 1e-5) ** 0.5
+
+    wrows = 256
+    rw = pk.packed_rows(U, K, multiple=wrows)
+    rh = pk.logical_rows(I, multiple=wrows)
+    S = max(1, -(-(U * I) // B))
+    t0 = time.perf_counter()
+    u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
+        0, 0, S, B, U, I, K, rw, rh, wrows, wrows, pos_keys,
+        key_filter=kf)
+    prep_s = time.perf_counter() - t0
+    invp = np.zeros((rh, 1), np.float32)
+    invp[:I, 0] = 1.0 / np.maximum(props, 0.1)
+    rng = np.random.default_rng(0)
+    Wp = jnp.asarray(pk.pack_array(
+        rng.uniform(-0.1, 0.1, (U, K)) / K, K, multiple=wrows))
+    Hp = jnp.asarray(pk.pack_logical(
+        rng.uniform(-0.1, 0.1, (I, K)) / K, K, multiple=wrows))
+    opt = make_packed_optimizer("adam", 0.001)
+    args = [jnp.asarray(a) for a in (u2, i2, lab, si, rowsi, wini, winw,
+                                     invp)]
+    n_valid = jnp.asarray(S * B, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    state = [Wp, Hp, opt.init(Wp), opt.init(Hp)]
+
+    def run():
+        state[0], state[1], state[2], state[3], loss = packed_relmf_epoch(
+            state[0], state[1], state[2], state[3], *args, n_valid,
+            opt_name="adam", lr=0.001, weight_decay=0.01, K=K, rw=rw,
+            rh=rh, wrows_w=wrows, wrows_h=wrows, interpret=interpret)
+        return loss
+
+    dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), epochs)
+    rate = S * B / dt
+    return {"metric": "relmf_packed_cells_per_sec", "value": round(rate, 1),
+            "unit": f"sampled cells/s (epoch rate; host prep {prep_s:.2f}"
+                    " s/epoch)",
+            "vs_baseline": round(rate / 4.8e6, 2)}
 
 
 def bench_relmf_ml20m():
@@ -712,6 +785,7 @@ _MODES = {
     "bpr_pallas": bench_bpr_pallas,
     "wmf": bench_wmf,
     "relmf": bench_relmf,
+    "relmf_packed": bench_relmf_packed,
     "relmf_ml20m": bench_relmf_ml20m,
     "expomf": bench_expomf,
     "glove": bench_glove,

@@ -134,7 +134,8 @@ class RelMF(MFTrainerBase, PersistenceMixin):
     def __init__(self, num_components: int = 20, clip_value: float = 0.1,
                  learning_rate: float = 0.001, optimizer: str = "adam",
                  weight_decay: float = 0.01, batch_size: int = 8192,
-                 update_mode: str = "auto", engine: str = "xla"):
+                 update_mode: str = "auto", engine: str = "xla",
+                 packed: str = "auto"):
         """``engine="pallas"``: VMEM-resident sequential per-sample kernel
         (see cymf_tpu.ops.pallas_engine) for small catalogs — replays the
         reference's per-cell update schedule exactly (group=1) or as the
@@ -153,6 +154,36 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         self.update_mode = update_mode
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise Exception(f"{self.optimizer} is invalid.")
+        if packed not in ("auto", "on", "off"):
+            raise ValueError("packed must be auto|on|off")
+        self.packed = packed
+
+    def _packed_engine(self, binary: bool, cells: int) -> bool:
+        """Select the packed fused engine (`ops/relmf_epoch.py`):
+        single-device fits on binarized matrices with a packable payload.
+        The whole cell stream is host-drawn per epoch, so epochs beyond
+        ``CYMF_TPU_RELMF_PACKED_MAX_CELLS`` (default 2^27 ~= 134M cells,
+        ~2.3GB of host streams) stay on the chunked in-jit XLA path —
+        at ML-20M's 3.7B cells/epoch host prep would dominate."""
+        import os
+
+        from ..ops.relmf_epoch import supports_packed_relmf
+        if self.packed == "off" or self.engine != "xla":
+            return False
+        limit = int(os.environ.get("CYMF_TPU_RELMF_PACKED_MAX_CELLS",
+                                   1 << 27))
+        ok = (binary and supports_packed_relmf(self.num_components)
+              and self.mesh.num_devices == 1 and cells <= limit)
+        if self.packed == "on":
+            if not ok:
+                raise ValueError(
+                    "packed='on' requires a single-device mesh, a "
+                    "binarized matrix, num_components <= 126, and "
+                    "U*I <= CYMF_TPU_RELMF_PACKED_MAX_CELLS "
+                    f"(= {limit}; got {cells} cells/epoch)")
+            return True
+        import jax
+        return ok and jax.default_backend() == "tpu"
 
     def fit(self, X, num_epochs: int = 10, num_threads: int = 1,
             valid_evaluator=None, early_stopping: bool = False,
@@ -182,6 +213,13 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         mesh = self.mesh
         put = mesh.put_replicated
         binary = bool(X.nnz == 0 or np.all(X.data == 1.0))
+        B0 = -(-self.batch_size // 1024) * 1024
+        S0 = max(1, -(-(U * I) // B0))
+        self.packed_engine_ = self._packed_engine(binary, S0 * B0)
+        if self.packed_engine_:
+            return self._fit_packed_relmf(
+                X, props, num_epochs, verbose, seed, checkpoint_path,
+                checkpoint_every, resume)
         if binary:
             coo = X.tocoo()
             label_src = jax.tree_util.tree_map(
@@ -269,6 +307,93 @@ class RelMF(MFTrainerBase, PersistenceMixin):
 
         self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
                          verbose, ncols=100, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_packed_relmf(self, X, props, num_epochs, verbose, seed,
+                          checkpoint_path, checkpoint_every, resume):
+        """Packed fused engine (`ops/relmf_epoch.py`): lane-packed user
+        table, logical item table, the fused sample kernel (the GloVe
+        kernel with theta on the decoration lane) and scatter-free
+        windowed MXU accumulation.  Both sort sides are per-epoch host
+        prep — the cell stream is deterministic per (seed, epoch) from
+        the portable PCG64 stream (a different, equally uniform stream
+        than the XLA engine's in-jit threefry draws)."""
+        from ..ops import packed as pkm
+        from ..ops.packed_epoch import (make_packed_optimizer,
+                                        make_reject_filter, unpack_device)
+        from ..ops.relmf_epoch import packed_relmf_epoch, prep_relmf_epoch
+        from .bpr import (_load_ckpt_raw, _packed_resume_state)
+
+        U, I = X.shape
+        K = self.num_components
+        wrows_w, wrows_h = 256, 256
+        rw = pkm.packed_rows(U, K, multiple=wrows_w)
+        rh = pkm.logical_rows(I, multiple=wrows_h)
+        interpret = jax.default_backend() != "tpu"
+        B = -(-self.batch_size // 1024) * 1024
+        S = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
+        self._samples_per_epoch = S * B
+
+        from ..ops.packed_epoch import prep_backend
+        self.prep_backend_ = prep_backend()
+        coo = X.tocoo()
+        pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        self._key_filter = make_reject_filter(pos_keys, U, I)
+        invp = np.zeros((rh, 1), np.float32)
+        invp[:I, 0] = 1.0 / np.maximum(props, self.clip_value)
+        invp_d = jnp.asarray(invp)
+
+        Wp = jnp.asarray(pkm.pack_array(self.W, K, multiple=wrows_w))
+        Hp = jnp.asarray(pkm.pack_logical(self.H, K, multiple=wrows_h))
+        opt = make_packed_optimizer(self.optimizer, self.learning_rate)
+        ow, oh = opt.init(Wp), opt.init(Hp)
+        n_valid = jnp.asarray(S * B, jnp.int32)
+
+        def publish():
+            self._state = {"W": unpack_device(Wp, K),
+                           "H": Hp[:, :K],
+                           "owp": ow, "ohp": oh}
+
+        publish()
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
+            start_epoch = last_epoch + 1
+            Wp, Hp, ow, oh = _packed_resume_state(
+                flat, U, I, K, wrows_w, wrows_h, ow, oh,
+                jnp.asarray, jnp.asarray)
+            publish()
+
+        self._last_loss_dev = None
+
+        def epoch_fn(epoch):
+            nonlocal Wp, Hp, ow, oh
+            u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
+                seed, epoch, S, B, U, I, K, rw, rh, wrows_w, wrows_h,
+                pos_keys, key_filter=self._key_filter)
+            Wp, Hp, ow, oh, self._last_loss_dev = packed_relmf_epoch(
+                Wp, Hp, ow, oh, jnp.asarray(u2), jnp.asarray(i2),
+                jnp.asarray(lab), jnp.asarray(si), jnp.asarray(rowsi),
+                jnp.asarray(wini), jnp.asarray(winw), invp_d, n_valid,
+                opt_name=self.optimizer, lr=self.learning_rate,
+                weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
+                wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+            publish()
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, ncols=100,
+                         checkpoint_path=checkpoint_path,
                          checkpoint_every=checkpoint_every,
                          start_epoch=start_epoch)
         if self._last_loss_dev is not None:

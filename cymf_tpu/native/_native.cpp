@@ -705,6 +705,186 @@ static PyObject* bpr_prep_epoch_v3(PyObject*, PyObject* args) {
                        r_bytes, w_bytes);
 }
 
+
+static PyObject* relmf_prep_epoch(PyObject*, PyObject* args) {
+  // Per-epoch RelMF prep (packed engine): draw S*B uniform (u, i) cells
+  // (positives AND negatives, /root/reference/cymf/relmf.pyx:143-148 —
+  // behavior reimplemented, not copied), label each by membership in the
+  // sorted positive keys (filter probe + exact per-user binary search,
+  // the same scheme as bpr_prep_epoch_v3's rejection), counting-sort
+  // each step by the user's packed row (the kernel's W-side order), and
+  // build both accumulation sides' 128-aligned window ranges.  The
+  // mt19937_64 per-step streams make the epoch deterministic in
+  // (seed, step) and independent of thread scheduling.
+  Py_buffer keys_buf{}, ptr_buf{}, f_buf{};
+  int64_t S, B, U, I, slots, rw, rh, wrows_w, wrows_h, tile, seed,
+      log2_bits;
+  if (!PyArg_ParseTuple(args, "y*y*y*LLLLLLLLLLLL", &keys_buf, &ptr_buf,
+                        &f_buf, &S, &B, &U, &I, &slots, &rw, &rh,
+                        &wrows_w, &wrows_h, &tile, &seed, &log2_bits)) {
+    return nullptr;
+  }
+  BufferGuard kg{keys_buf}, pg{ptr_buf}, fg{f_buf};
+  if (S <= 0 || B <= 0 || U <= 0 || I <= 0 || slots <= 0 ||
+      wrows_w <= 0 || wrows_h <= 0 || tile <= 0 || rw <= 0 || rh <= 0 ||
+      rw % wrows_w != 0 || rh % wrows_h != 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "relmf_prep_epoch: dimensions must be positive, "
+                    "rw/rh multiples of their wrows");
+    return nullptr;
+  }
+  if ((U + slots - 1) / slots > rw || I > rh) {
+    PyErr_SetString(PyExc_ValueError,
+                    "relmf_prep_epoch: rw/rh must cover the tables");
+    return nullptr;
+  }
+  if (keys_buf.len % static_cast<int64_t>(sizeof(int64_t)) != 0 ||
+      ptr_buf.len != (U + 1) * static_cast<int64_t>(sizeof(int64_t))) {
+    PyErr_SetString(PyExc_ValueError,
+                    "relmf_prep_epoch: bad pos_keys/indptr buffer");
+    return nullptr;
+  }
+  if (log2_bits < 10 || log2_bits > 36 ||
+      f_buf.len != (1LL << log2_bits) / 8) {
+    PyErr_SetString(PyExc_ValueError,
+                    "relmf_prep_epoch: filter length != 2^log2_bits bits");
+    return nullptr;
+  }
+  const int64_t* pos_keys = static_cast<const int64_t*>(keys_buf.buf);
+  const int64_t* indptr = static_cast<const int64_t*>(ptr_buf.buf);
+  const uint64_t* bits = static_cast<const uint64_t*>(f_buf.buf);
+  const int64_t nkeys =
+      keys_buf.len / static_cast<int64_t>(sizeof(int64_t));
+  if (indptr[0] != 0 || indptr[U] != nkeys) {
+    PyErr_SetString(PyExc_ValueError,
+                    "relmf_prep_epoch: indptr must span pos_keys");
+    return nullptr;
+  }
+  const int shift = 64 - static_cast<int>(log2_bits);
+
+  const int64_t nww = rw / wrows_w;
+  const int64_t nwh = rh / wrows_h;
+  PyObject* u_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* i_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* l_bytes = PyBytes_FromStringAndSize(nullptr, S * B);
+  PyObject* ww_bytes = PyBytes_FromStringAndSize(nullptr, S * 2 * nww * 4);
+  PyObject* p_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* r_bytes = PyBytes_FromStringAndSize(nullptr, S * B * 4);
+  PyObject* wi_bytes = PyBytes_FromStringAndSize(nullptr, S * 2 * nwh * 4);
+  if (!u_bytes || !i_bytes || !l_bytes || !ww_bytes || !p_bytes ||
+      !r_bytes || !wi_bytes) {
+    Py_XDECREF(u_bytes); Py_XDECREF(i_bytes); Py_XDECREF(l_bytes);
+    Py_XDECREF(ww_bytes); Py_XDECREF(p_bytes); Py_XDECREF(r_bytes);
+    Py_XDECREF(wi_bytes);
+    return nullptr;
+  }
+  int32_t* u2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(u_bytes));
+  int32_t* i2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(i_bytes));
+  uint8_t* lab = reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(l_bytes));
+  int32_t* winw = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(ww_bytes));
+  int32_t* si = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(p_bytes));
+  int32_t* rowsi = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(r_bytes));
+  int32_t* wini = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(wi_bytes));
+
+  auto windows = [tile](const int64_t* counts, int64_t wrows, int64_t rows,
+                        int64_t nw, int64_t Bn, int32_t* ws) {
+    for (int64_t w = 0; w < nw; ++w) {
+      const int64_t lo = counts[w * wrows];
+      const int64_t hi =
+          (w + 1) * wrows <= rows ? counts[(w + 1) * wrows] : Bn;
+      int64_t astart = (lo / 128) * 128;
+      const int64_t nch = (hi - astart + tile - 1) / tile;
+      if (astart + nch * tile > Bn) {
+        int64_t need = (Bn - lo + tile - 1) / tile;
+        if (nch > need) need = nch;
+        astart = Bn - need * tile;
+      }
+      ws[w] = static_cast<int32_t>(astart);
+      ws[nw + w] = static_cast<int32_t>(hi - astart);
+    }
+  };
+
+  Py_BEGIN_ALLOW_THREADS;
+  constexpr int64_t kAhead = 64;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> ru(B), ri(B);
+    std::vector<uint8_t> rl(B);
+    std::vector<int64_t> countsw(rw + 1), countsh(rh + 1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int64_t t = 0; t < S; ++t) {
+      uint64_t z = static_cast<uint64_t>(seed) + 0x9e3779b97f4a7c15ULL *
+                   (static_cast<uint64_t>(t) + 1);
+      z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+      std::mt19937_64 gen(z ^ (z >> 31));
+      std::uniform_int_distribution<int64_t> dist(0, U * I - 1);
+      for (int64_t b = 0; b < B; ++b) {
+        const int64_t r = dist(gen);
+        ru[b] = static_cast<int32_t>(r / I);
+        ri[b] = static_cast<int32_t>(r % I);
+      }
+      // labels: filter probe (prefetched) + exact per-user range search
+      for (int64_t b = 0; b < B; ++b) {
+        if (b + kAhead < B) {
+          const uint64_t ha = splitmix64(static_cast<uint64_t>(
+              static_cast<int64_t>(ru[b + kAhead]) * I +
+              ri[b + kAhead])) >> shift;
+          __builtin_prefetch(&bits[ha >> 6], 0, 0);
+        }
+        const int64_t key = static_cast<int64_t>(ru[b]) * I + ri[b];
+        bool hit = false;
+        if (nkeys > 0) {
+          const uint64_t h =
+              splitmix64(static_cast<uint64_t>(key)) >> shift;
+          if (bits[h >> 6] & (1ULL << (h & 63))) {
+            const int64_t lo = indptr[ru[b]], hi = indptr[ru[b] + 1];
+            hit = std::binary_search(pos_keys + lo, pos_keys + hi, key);
+          }
+        }
+        rl[b] = hit ? 1 : 0;
+      }
+      // counting sort by the user's packed row; W windows from counts
+      std::fill(countsw.begin(), countsw.end(), 0);
+      for (int64_t b = 0; b < B; ++b) ++countsw[ru[b] / slots + 1];
+      for (int64_t r = 0; r < rw; ++r) countsw[r + 1] += countsw[r];
+      windows(countsw.data(), wrows_w, rw, nww, B, winw + t * 2 * nww);
+      int32_t* us = u2 + t * B;
+      int32_t* is = i2 + t * B;
+      uint8_t* ls = lab + t * B;
+      {
+        std::vector<int64_t> cursor(countsw.begin(), countsw.end() - 1);
+        for (int64_t b = 0; b < B; ++b) {
+          const int64_t pos = cursor[ru[b] / slots]++;
+          us[pos] = ru[b];
+          is[pos] = ri[b];
+          ls[pos] = rl[b];
+        }
+      }
+      // i side over the u-sorted stream (logical H rows: row == item id)
+      std::fill(countsh.begin(), countsh.end(), 0);
+      for (int64_t b = 0; b < B; ++b) ++countsh[is[b] + 1];
+      for (int64_t r = 0; r < rh; ++r) countsh[r + 1] += countsh[r];
+      windows(countsh.data(), wrows_h, rh, nwh, B, wini + t * 2 * nwh);
+      int32_t* ps = si + t * B;
+      int32_t* rs = rowsi + t * B;
+      std::vector<int64_t> cursor(countsh.begin(), countsh.end() - 1);
+      for (int64_t b = 0; b < B; ++b) {
+        const int64_t pos = cursor[is[b]]++;
+        ps[pos] = static_cast<int32_t>(b);
+        rs[pos] = is[b];
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  return Py_BuildValue("(NNNNNNN)", u_bytes, i_bytes, l_bytes, ww_bytes,
+                       p_bytes, r_bytes, wi_bytes);
+}
+
 static PyMethodDef kMethods[] = {
     {"cooccurrence", cooccurrence, METH_VARARGS,
      "Accumulate left-window 1/distance co-occurrence counts."},
@@ -718,6 +898,8 @@ static PyMethodDef kMethods[] = {
      "One-bit membership filter over sorted keys (built once per fit)."},
     {"pool_reject_v3", pool_reject_v3, METH_VARARGS,
      "Filter-accelerated rejection mask (prefetch + exact fallback)."},
+    {"relmf_prep_epoch", relmf_prep_epoch, METH_VARARGS,
+     "Per-epoch RelMF cell draw + label + both-side sort/window prep."},
     {"bpr_prep_epoch_v3", bpr_prep_epoch_v3, METH_VARARGS,
      "v2 prep with filter-accelerated rejection (same streams)."},
     {nullptr, nullptr, 0, nullptr},

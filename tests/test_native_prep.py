@@ -205,3 +205,46 @@ def test_prep_epoch_v3_bit_identical_to_v2():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
     assert np.asarray(a[1]).min() == 0 and np.asarray(a[1]).mean() > 0.5
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_relmf_prep_invariants():
+    """`_native.relmf_prep_epoch` (round 4): exact labels vs searchsorted
+    on its own drawn stream, u-sorted order, valid i-side permutation,
+    and window coverage on both sides."""
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.packed_epoch import make_reject_filter
+    from cymf_tpu.ops.relmf_epoch import prep_relmf_epoch
+
+    U, I, K, B, S = 610, 370, 12, 1024, 3
+    wrows = 16
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, U * I, 8000).astype(np.int64))
+    kf = make_reject_filter(keys, U, I)
+    assert kf is not None
+    rw = pk.packed_rows(U, K, multiple=wrows)
+    rh = pk.logical_rows(I, multiple=wrows)
+    u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
+        7, 0, S, B, U, I, K, rw, rh, wrows, wrows, keys, key_filter=kf)
+    s = pk.num_slots(K)
+    assert (np.diff(u2.astype(np.int64) // s, axis=1) >= 0).all()
+    kk = u2.astype(np.int64) * I + i2
+    idx = np.minimum(np.searchsorted(keys, kk), len(keys) - 1)
+    np.testing.assert_array_equal(lab, (keys[idx] == kk).astype(np.uint8))
+    for t in range(S):
+        assert np.array_equal(np.sort(si[t]), np.arange(B))
+        srt = i2[t][si[t]]
+        assert (np.diff(srt) >= 0).all()
+        np.testing.assert_array_equal(rowsi[t].ravel(), srt)
+        pu = u2[t].astype(np.int64) // s
+        for w in range(rw // wrows):
+            inw = np.nonzero((pu >= w * wrows) & (pu < (w + 1) * wrows))[0]
+            if len(inw):
+                a, c = winw[t, 0, w], winw[t, 1, w]
+                assert a <= inw[0] and inw[-1] < a + c
+        for w in range(rh // wrows):
+            inw = np.nonzero((srt >= w * wrows)
+                             & (srt < (w + 1) * wrows))[0]
+            if len(inw):
+                a, c = wini[t, 0, w], wini[t, 1, w]
+                assert a <= inw[0] and inw[-1] < a + c

@@ -110,3 +110,163 @@ def test_chunked_epoch_matches_monolithic():
     np.testing.assert_array_equal(Wc, Wm)
     np.testing.assert_array_equal(Hc, Hm)
     assert lc == pytest.approx(lm, rel=1e-6)
+
+
+class TestPackedRelMF:
+    """The packed fused engine (`ops/relmf_epoch.py`, round 4)."""
+
+    def test_packed_epoch_matches_dense_reference(self):
+        """packed_relmf_epoch == an unpacked gather/scatter/sparse-Adam
+        replica on identical (u, i, label) streams, including the
+        reference's added-decay sign quirk and the wd*l2 loss term."""
+        import jax.numpy as jnp
+
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
+                                               unpack_device)
+        from cymf_tpu.ops.relmf_epoch import (packed_relmf_epoch,
+                                              prep_relmf_epoch)
+
+        rng = np.random.default_rng(3)
+        U, I, K, B, S = 210, 140, 12, 1024, 3
+        lr, wd, M = 0.02, 0.01, 0.1
+        wrows = 16
+        W0 = (rng.normal(size=(U, K)) * 0.1).astype(np.float32)
+        H0 = (rng.normal(size=(I, K)) * 0.1).astype(np.float32)
+        pos = rng.random((U, I)) < 0.08
+        pu, pi = np.nonzero(pos)
+        pos_keys = np.sort(pu.astype(np.int64) * I + pi)
+        col_mean = pos.mean(axis=0)
+        props = np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5
+
+        rw = pk.packed_rows(U, K, multiple=wrows)
+        rh = pk.logical_rows(I, multiple=wrows)
+        u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
+            7, 0, S, B, U, I, K, rw, rh, wrows, wrows, pos_keys)
+        invp = np.zeros((rh, 1), np.float32)
+        invp[:I, 0] = 1.0 / np.maximum(props, M)
+
+        Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
+        Hp = jnp.asarray(pk.pack_logical(H0, K, multiple=wrows))
+        opt = make_packed_optimizer("adam", lr)
+        Wp2, Hp2, _, _, loss = packed_relmf_epoch(
+            Wp, Hp, opt.init(Wp), opt.init(Hp),
+            jnp.asarray(u2), jnp.asarray(i2), jnp.asarray(lab),
+            jnp.asarray(si), jnp.asarray(rowsi), jnp.asarray(wini),
+            jnp.asarray(winw), jnp.asarray(invp), jnp.asarray(S * B),
+            opt_name="adam", lr=lr, weight_decay=wd, K=K, rw=rw, rh=rh,
+            wrows_w=wrows, wrows_h=wrows, interpret=True)
+        W_got = np.asarray(unpack_device(Wp2, K))[:U]
+        H_got = np.asarray(Hp2[:I, :K])
+
+        def adam_dense(T, m, v, gbuf, touched):
+            touched = touched[:, None] > 0
+            m2 = np.where(touched, 0.9 * m + 0.1 * gbuf, m)
+            v2 = np.where(touched, 0.999 * v + 0.001 * gbuf**2, v)
+            delta = np.where(
+                touched,
+                -lr * (m2 / 0.1) / (np.sqrt(v2 / 0.001) + 1e-8), 0)
+            return T + delta, m2, v2
+
+        W, H = W0.copy(), H0.copy()
+        mW = np.zeros_like(W); vW = np.zeros_like(W)
+        mH = np.zeros_like(H); vH = np.zeros_like(H)
+        loss_ref = 0.0
+        for t in range(S):
+            u, i = u2[t], i2[t]
+            th = lab[t].astype(np.float64) / np.maximum(props[i], M)
+            wu, hi = W[u].astype(np.float64), H[i].astype(np.float64)
+            s = np.sum(wu * hi, axis=1, keepdims=True)
+            thc = th[:, None]
+            # model.pyx:130-139: shared factor (s - theta), decay ADDED
+            g_w = (s - thc) * hi + wd * wu
+            g_h = (s - thc) * wu + wd * hi
+            l2 = np.sum(wu**2, axis=1) + np.sum(hi**2, axis=1)
+            loss_ref += np.sum(th * (1 - s[:, 0])**2
+                               + (1 - th) * s[:, 0]**2 + wd * l2)
+            gW = np.zeros_like(W); np.add.at(gW, u, g_w.astype(np.float32))
+            gH = np.zeros_like(H); np.add.at(gH, i, g_h.astype(np.float32))
+            cW = np.zeros(U); np.add.at(cW, u, 1.0)
+            cH = np.zeros(I); np.add.at(cH, i, 1.0)
+            W, mW, vW = adam_dense(W, mW, vW, gW, cW)
+            H, mH, vH = adam_dense(H, mH, vH, gH, cH)
+        loss_ref /= S * B
+
+        np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-4)
+        np.testing.assert_allclose(W_got, W, rtol=3e-3, atol=3e-4)
+        np.testing.assert_allclose(H_got, H, rtol=3e-3, atol=3e-4)
+
+    def test_fit_packed_quality_matches_xla(self):
+        """Public RelMF.fit with packed='on' (single-device mesh) reaches
+        the same ranking quality as the XLA engine — different (equally
+        uniform) draw streams, same per-batch update semantics."""
+        import jax
+
+        import cymf_tpu
+        from cymf_tpu.dataset import SyntheticImplicitDataset
+        from cymf_tpu.parallel import MeshContext, use_mesh
+
+        d = SyntheticImplicitDataset(num_user=300, num_item=200, rank=5,
+                                     density=0.08, seed=11)
+        ev = cymf_tpu.AoaEvaluator(d.test, d.train, metrics=["DCG"], k=5)
+        res = {}
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            for packed in ("off", "on"):
+                m = cymf_tpu.RelMF(num_components=10, learning_rate=0.01,
+                                   batch_size=4096, packed=packed)
+                m.fit(d.train, num_epochs=8, verbose=False, seed=3)
+                res[packed] = ev.evaluate(m.W, m.H)["DCG@5"]
+                assert np.isfinite(m.last_loss)
+        assert res["on"] > 0.8 * res["off"], res
+
+    def test_packed_resume_matches_uninterrupted(self, tmp_path):
+        """Packed RelMF checkpoints resume mid-fit (the packed schema via
+        the shared BPR-style converter); an XLA-written checkpoint also
+        resumes in the packed engine (cross-engine, logical -> packed)."""
+        import jax
+
+        import cymf_tpu
+        from cymf_tpu.dataset import SyntheticImplicitDataset
+        from cymf_tpu.parallel import MeshContext, use_mesh
+
+        d = SyntheticImplicitDataset(num_user=120, num_item=80, rank=4,
+                                     density=0.1, seed=5)
+        p = str(tmp_path / "rp.npz")
+        kw = dict(num_components=8, learning_rate=0.02, batch_size=1024)
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            m1 = cymf_tpu.RelMF(packed="on", **kw)
+            m1.fit(d.train, num_epochs=6, verbose=False, seed=7)
+
+            m2 = cymf_tpu.RelMF(packed="on", **kw)
+            m2.fit(d.train, num_epochs=3, verbose=False, seed=7,
+                   checkpoint_path=p)
+            m3 = cymf_tpu.RelMF(packed="on", **kw)
+            m3.fit(d.train, num_epochs=6, verbose=False, seed=7,
+                   checkpoint_path=p, resume=True)
+            np.testing.assert_allclose(m3.W, m1.W, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(m3.H, m1.H, rtol=1e-4, atol=1e-5)
+
+            # cross-engine: XLA checkpoint -> packed resume trains on
+            p2 = str(tmp_path / "rx.npz")
+            mx = cymf_tpu.RelMF(packed="off", **kw)
+            mx.fit(d.train, num_epochs=2, verbose=False, seed=7,
+                   checkpoint_path=p2)
+            mp = cymf_tpu.RelMF(packed="on", **kw)
+            mp.fit(d.train, num_epochs=3, verbose=False, seed=7,
+                   checkpoint_path=p2, resume=True)
+            assert np.isfinite(mp.W).all()
+            assert not np.allclose(mp.W, mx.W)
+
+    def test_packed_gate_validation(self):
+        """packed='on' rejects unsupported configs loudly."""
+        import cymf_tpu
+        from scipy import sparse
+
+        with pytest.raises(ValueError):
+            cymf_tpu.RelMF(packed="maybe")
+        X = sparse.random(40, 30, density=0.2, random_state=0,
+                          format="csr")
+        X.data[:] = 3.0  # non-binary
+        m = cymf_tpu.RelMF(num_components=8, packed="on")
+        with pytest.raises(ValueError, match="binarized"):
+            m.fit(X, num_epochs=1, verbose=False)
