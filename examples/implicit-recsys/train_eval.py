@@ -25,7 +25,8 @@ MODELS = {
         weight_decay=a.weight_decay),
     "relmf": lambda a: cymf.RelMF(
         num_components=a.num_components, learning_rate=a.learning_rate,
-        weight_decay=a.weight_decay, clip_value=a.clip_value),
+        weight_decay=a.weight_decay, clip_value=a.clip_value,
+        batch_size=a.batch_size, packed=getattr(a, "packed", "auto")),
 }
 
 
@@ -42,6 +43,10 @@ def main():
     p.add_argument("--clip_value", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--engine", default="xla", choices=("xla", "pallas"))
+    p.add_argument("--packed", default="auto", choices=("auto", "on",
+                                                        "off"),
+                   help="RelMF only: packed fused engine (auto picks it "
+                        "on a single-device TPU for binarized fits)")
     p.add_argument("--neg_pool", type=int, default=0,
                    help="BPR only: draw each step's negatives from a "
                         "shared pool of this many items (multiple of "
