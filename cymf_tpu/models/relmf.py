@@ -168,7 +168,13 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         import os
 
         from ..ops.relmf_epoch import supports_packed_relmf
-        if self.packed == "off" or self.engine != "xla":
+        if self.packed == "off":
+            return False
+        if self.engine != "xla":
+            if self.packed == "on":  # explicit request must not be ignored
+                raise ValueError(
+                    "packed='on' requires engine='xla' "
+                    f"(got engine={self.engine!r})")
             return False
         limit = int(os.environ.get("CYMF_TPU_RELMF_PACKED_MAX_CELLS",
                                    1 << 27))
@@ -205,6 +211,10 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         props = np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5
 
         if self.engine == "pallas":
+            if self.packed == "on":  # explicit request must not be ignored
+                raise ValueError(
+                    "packed='on' requires engine='xla' (got engine="
+                    f"{self.engine!r})")
             if checkpoint_path is not None:
                 raise NotImplementedError(
                     "checkpointing is only supported with engine='xla'")

@@ -657,6 +657,17 @@ def shard_slices(u2, K: int, rw: int, n: int, tile: int = TILE):
     ends = np.concatenate([splits, np.full((S, 1), B, np.int64)], axis=1)
     counts = ends - starts
     Bd = max(int(counts.max()), 1)
+    # small batches see 2x skew from ordinary randomness; only flag
+    # shard-degenerate streams at sizes where 2x means real imbalance
+    if n > 1 and B // n >= 1024 and Bd > 2 * B // n:
+        import warnings
+        warnings.warn(
+            f"sharded packed engine: one shard owns {Bd} of {B} samples "
+            f"in some step (balanced would be ~{B // n}); every shard is "
+            "padded to that length, multiplying per-step compute/memory. "
+            "A degree-skewed user->shard distribution is the usual cause "
+            "— consider the XLA sharded engine (packed='off') instead.",
+            stacklevel=2)
     return starts, counts, -(-Bd // tile) * tile
 
 

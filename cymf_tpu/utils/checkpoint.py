@@ -129,6 +129,14 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, int, Dict[str, Any]]:
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf {key!r}")
         arr = flat[key]
+        like_shape = tuple(np.shape(leaf))
+        if tuple(arr.shape) != like_shape:
+            raise ValueError(
+                f"checkpoint leaf {key!r} has shape {tuple(arr.shape)}, "
+                f"expected {like_shape} — written by a different "
+                "schema/mesh padding.  Engines that support cross-layout "
+                "resume (BPR) convert through their own raw-load path; "
+                "this loader requires exact shapes so drift fails loudly.")
         if hasattr(leaf, "sharding"):
             arr = jax.device_put(arr.astype(leaf.dtype), leaf.sharding)
         leaves.append(arr)

@@ -239,3 +239,36 @@ def test_packed_on_multidevice_runs_sharded():
         m.fit(X, num_epochs=1, verbose=False)
     assert np.isfinite(m.last_loss)
     assert m.packed_kernel_ == 4 and np.isfinite(m.W).all()
+
+def test_load_shape_mismatch_raises(tmp_path):
+    """Schema drift (a leaf stored under a different shape) fails loudly
+    instead of silently carrying mismatched arrays (round-4 advice)."""
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, {"b": jnp.zeros((1, 1))}, epoch=0)
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(p, {"b": jnp.zeros((1,))})
+
+
+def test_shard_slices_warns_on_degenerate_skew():
+    """One shard owning ~all of a step's samples pads every shard to ~B;
+    shard_slices surfaces that instead of silently multiplying compute."""
+    import warnings
+
+    from cymf_tpu.ops.packed_epoch import shard_slices
+
+    B, K, n = 8192, 6, 4
+    from cymf_tpu.ops import packed as pk
+    s = pk.num_slots(K)
+    rw = 8 * n  # 8 packed rows per shard
+    # every sample lands in shard 0's row range -> max skew
+    u2 = np.zeros((2, B), np.int64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        starts, counts, Bd = shard_slices(u2, K, rw, n, tile=128)
+    assert Bd == B and any("shard owns" in str(x.message) for x in w)
+    # balanced streams stay silent
+    u_bal = np.sort(np.arange(2 * B).reshape(2, B) % (rw * s), axis=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_slices(u_bal.astype(np.int64), K, rw, n, tile=128)
+    assert not w

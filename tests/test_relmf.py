@@ -270,3 +270,15 @@ class TestPackedRelMF:
         m = cymf_tpu.RelMF(num_components=8, packed="on")
         with pytest.raises(ValueError, match="binarized"):
             m.fit(X, num_epochs=1, verbose=False)
+
+    def test_packed_on_requires_xla_engine(self):
+        """packed='on' with engine='pallas' raises instead of silently
+        running unpacked (round-4 advice)."""
+        import cymf_tpu
+
+        m = cymf_tpu.RelMF(num_components=8, packed="on", engine="pallas")
+        X = sparse.random(40, 30, density=0.2, random_state=0,
+                          format="csr")
+        X.data[:] = 1.0
+        with pytest.raises(ValueError, match="engine"):
+            m.fit(X, num_epochs=1, verbose=False)
