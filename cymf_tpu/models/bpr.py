@@ -171,6 +171,17 @@ def _sharded_packed_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
 
 
 @functools.lru_cache(maxsize=16)
+def _sharded_wide_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
+                            K: int, rw: int, rh: int, wrows: int,
+                            interpret: bool):
+    """Cached jitted shard_map WIDE epoch per (mesh, config) — the
+    K >= 128 analogue of :func:`_sharded_packed_epoch_jit`."""
+    from ..parallel.shard_step import sharded_wide_bpr_epoch
+    return sharded_wide_bpr_epoch(mesh, opt_name, lr, wd, K, rw, rh,
+                                  wrows, interpret)
+
+
+@functools.lru_cache(maxsize=16)
 def _sharded_epoch_jit(mesh, opt_name: str, lr: float, wd: float,
                        num_users: int, num_items: int):
     """Cached (optimizer, jitted shard_map epoch) per (mesh, config) —
@@ -325,11 +336,11 @@ class BPR(MFTrainerBase, PersistenceMixin):
 
         ``packed='auto'`` picks the fused engine on a real TPU backend
         (the kernels run in slow interpret mode elsewhere); on a
-        multi-device mesh the packed engine runs its explicit shard_map
-        form (`parallel/shard_step.sharded_packed_bpr_epoch`).
-        ``packed='on'`` FORCES it on any backend; the wide engine is
-        still single-device and warns when a multi-device mesh is being
-        ignored."""
+        multi-device mesh both engines run their explicit shard_map
+        forms (`parallel/shard_step.sharded_packed_bpr_epoch` /
+        ``sharded_wide_bpr_epoch`` — the latter round 5, closing
+        BASELINE config 5's multi-device d >= 128 path).
+        ``packed='on'`` FORCES it on any backend."""
         from ..ops import packed as pk
         kind = "packed" if pk.packable(self.num_components) else "wide"
         if self.packed == "off":
@@ -338,17 +349,8 @@ class BPR(MFTrainerBase, PersistenceMixin):
             if self.engine != "xla":
                 raise ValueError(
                     "packed='on' requires engine='xla'")
-            if self.mesh.num_devices > 1 and kind == "wide":
-                import warnings
-                warnings.warn(
-                    "packed='on' with num_components >= 128 selects the "
-                    "wide engine, which is single-device: the "
-                    f"{self.mesh.num_devices}-device mesh is ignored and "
-                    "training runs on the default device", stacklevel=3)
             return kind
         if self.engine != "xla":
-            return ""
-        if self.mesh.num_devices != 1 and kind != "packed":
             return ""
         import jax
         if jax.default_backend() == "tpu" and n_samples >= 4096:
@@ -430,6 +432,10 @@ class BPR(MFTrainerBase, PersistenceMixin):
                                     checkpoint_path, checkpoint_every,
                                     resume)
         if fused == "wide":
+            if mesh_n > 1:
+                return self._fit_wide_sharded(
+                    X, u2, i2, num_epochs, verbose, seed,
+                    checkpoint_path, checkpoint_every, resume)
             return self._fit_wide(X, u2, i2, num_epochs, verbose, seed,
                                   checkpoint_path, checkpoint_every,
                                   resume)
@@ -790,6 +796,131 @@ class BPR(MFTrainerBase, PersistenceMixin):
                 Wp, Hp, ow, oh, u_d, i_d, si_d, rowsi_d, wini_d,
                 put_s(j_loc), put_s(mf), put_s(sj), put_s(rowsj),
                 put_s(winj), winw_d, n_valid)
+            publish()
+
+        def snapshot_fn():
+            return (self.W, self.H)
+
+        def restore_fn(snap):
+            self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+        self._run_epochs(num_epochs, epoch_fn, snapshot_fn, restore_fn,
+                         verbose, checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
+                         start_epoch=start_epoch)
+        if self._last_loss_dev is not None:
+            self.last_loss = float(jax.device_get(self._last_loss_dev))
+        self._finalize_fit()
+
+    def _fit_wide_sharded(self, X, u2, i2, num_epochs, verbose, seed,
+                          checkpoint_path, checkpoint_every, resume):
+        """Multi-device wide engine (round 5 — BASELINE config 5's
+        pod-slice fast path for K >= 128): row-sharded wide W with
+        shard-contiguous u-sorted sample slices (every W stage local),
+        replicated wide H merged by ONE ``(rh, Kp+128)`` psum per step.
+        See `parallel/shard_step.sharded_wide_bpr_epoch`.  Negative
+        streams are drawn GLOBALLY (the 1-device stream) before slicing,
+        so fits are mesh-size-invariant up to float summation order."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.packed_epoch import (make_packed_optimizer,
+                                        make_reject_filter, prep_backend,
+                                        prep_epoch, prep_shard_epoch)
+        from ..ops.wide_epoch import (pack_wide, prep_shard_static_wide,
+                                      wide_rows, wide_shard_masks)
+        from ..parallel.mesh import ROW_AXIS
+
+        mesh = self.mesh
+        n = mesh.num_devices
+        self.prep_backend_ = prep_backend()
+        U, I = X.shape
+        K = self.num_components
+        N = self._samples_per_epoch
+        self.last_loss = None
+        wrows = 512
+        # every shard's local row range must be a whole number of windows
+        rw = wide_rows(U, wrows * n)
+        rh = wide_rows(I, wrows)
+        interpret = jax.default_backend() != "tpu"
+
+        (u_loc, rowsu, winw, i_loc, si, rowsi, wini, starts, counts,
+         Bd) = prep_shard_static_wide(u2, i2, rw, rh, wrows, n)
+        coo = X.tocoo()
+        pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
+        self._key_filter = make_reject_filter(pos_keys, U, I)
+
+        table_sh = NamedSharding(mesh.mesh, P(ROW_AXIS, None))
+        rep_sh = mesh.replicated()
+        stream_sh = NamedSharding(mesh.mesh, P(ROW_AXIS))
+        put_w = lambda a: jax.device_put(np.asarray(a), table_sh)
+        put_h = lambda a: jax.device_put(np.asarray(a), rep_sh)
+        put_s = lambda a: jax.device_put(np.asarray(a), stream_sh)
+
+        Wd = put_w(pack_wide(self.W, K, multiple=wrows * n))
+        Hd = put_h(pack_wide(self.H, K, multiple=wrows))
+        opt = make_packed_optimizer(self.optimizer, self.learning_rate)
+        ow, oh = opt.init(Wd), opt.init(Hd)
+
+        u_d, rowsu_d, winw_d, i_d, si_d, rowsi_d, wini_d = (
+            put_s(a) for a in (u_loc, rowsu, winw, i_loc, si, rowsi,
+                               wini))
+        n_valid = jnp.asarray(N, jnp.int32)
+        epoch_fn_jit = _sharded_wide_epoch_jit(
+            mesh, self.optimizer, self.learning_rate, self.weight_decay,
+            K, rw, rh, wrows, interpret)
+
+        def publish():
+            self._state = {"W": Wd[:, :K], "H": Hd[:, :K],
+                           "oww": ow, "ohw": oh}
+
+        publish()
+        start_epoch = 0
+        if resume and checkpoint_path is not None \
+                and __import__("os").path.exists(checkpoint_path):
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
+            start_epoch = last_epoch + 1
+            Wd = put_w(pack_wide(np.asarray(flat["W"])[:U], K,
+                                 multiple=wrows * n))
+            Hd = put_h(pack_wide(np.asarray(flat["H"])[:I], K,
+                                 multiple=wrows))
+
+            def cvt_w(a):  # logical XLA leaf (>=U, K) -> sharded wide
+                return pack_wide(a[:U], K, multiple=wrows * n)
+
+            def cvt_h(a):
+                return pack_wide(a[:I], K, multiple=wrows)
+
+            mpay_w = pack_wide(np.ones((U, K), np.float32), K,
+                               multiple=wrows * n) > 0
+            mpay_h = pack_wide(np.ones((I, K), np.float32), K,
+                               multiple=wrows) > 0
+            ow = _restore_opt_state(flat, "oww", "ow", ow, cvt_w, mpay_w,
+                                    lambda a, t: put_w(a), repad=cvt_w)
+            oh = _restore_opt_state(flat, "ohw", "oh", oh, cvt_h, mpay_h,
+                                    lambda a, t: put_h(a), repad=cvt_h)
+            publish()
+
+        self._last_loss_dev = None
+
+        def epoch_fn(epoch):
+            nonlocal Wd, Hd, ow, oh
+            # global draws (the 1-device stream), then shard slicing
+            rng = np.random.default_rng((seed, epoch))
+            j2, mask, _, _, _ = prep_epoch(
+                rng, u2, i2, pos_keys, U, I, K, rh, wrows,
+                native_seed=seed * 1_000_003 + epoch,
+                key_filter=self._key_filter, sides=False)
+            j_loc, mf, sj, rowsj, winj = prep_shard_epoch(
+                j2, mask, starts, counts, Bd, rh, wrows, n)
+            mi, mj = wide_shard_masks(mf, si, sj)
+            Wd, Hd, ow, oh, self._last_loss_dev = epoch_fn_jit(
+                Wd, Hd, ow, oh, u_d, rowsu_d, winw_d, i_d, si_d,
+                rowsi_d, wini_d, put_s(j_loc), put_s(mf), put_s(sj),
+                put_s(rowsj), put_s(winj), put_s(mi), put_s(mj),
+                n_valid)
             publish()
 
         def snapshot_fn():

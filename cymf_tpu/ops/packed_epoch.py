@@ -625,9 +625,12 @@ def _reject_mask(u2, j2, pos_keys, num_users: int, num_items: int,
     return (in_data & ~collide).astype(np.float32)
 
 
-def shard_slices(u2, K: int, rw: int, n: int, tile: int = TILE):
+def shard_slices(u2, K: int, rw: int, n: int, tile: int = TILE,
+                 slots: int | None = None):
     """Per-step contiguous slice boundaries of the u-sorted sample stream
     for ``n`` equal W row shards (the sharded packed engine's partition).
+    ``slots`` overrides the lane-packing slot count (the sharded WIDE
+    engine passes 1: at K >= 128 the target row IS the user id).
 
     Each step's stream is ascending in u, and shard ``p`` statically owns
     packed rows ``[p*rw/n, (p+1)*rw/n)`` — so shard p's samples are
@@ -644,7 +647,7 @@ def shard_slices(u2, K: int, rw: int, n: int, tile: int = TILE):
     (real datasets: user ids are arbitrary wrt degree) Bd ~= B/n.
     """
     S, B = u2.shape
-    s = pk.num_slots(K)
+    s = pk.num_slots(K) if slots is None else int(slots)
     if rw % n:
         raise ValueError("rw must be a multiple of the device count")
     rw_l = rw // n

@@ -146,6 +146,62 @@ def wide_bpr_epoch(W, H, ow, oh, u_steps, i_steps, rowsu_steps, winw,
     return W, H, ow, oh, loss / jnp.maximum(n_valid, 1).astype(jnp.float32)
 
 
+def prep_shard_static_wide(u2, i2, rw: int, rh: int, wrows: int, n: int,
+                           tile: int = TILE):
+    """Once per fit (sharded wide engine, round 5 — BASELINE config 5's
+    multi-device d >= 128 fast path): slice the u-sorted static streams
+    into ``n`` shard-contiguous pieces (wide layout: slots = 1, the
+    target row IS the id), localize user ids to shard row offsets, and
+    build the per-shard W windows/folded rows and i-side sorted streams.
+    The partition mirrors ``ops.packed_epoch.prep_shard_static`` — shard
+    ``p`` statically owns rows ``[p*rw/n, (p+1)*rw/n)`` of the wide W
+    table, so every W stage is local (`/root/reference/cymf/bpr.pyx:162`
+    scaled to a mesh).
+
+    Returns ``(u_loc, rowsu, winw, i_loc, si, rowsi, wini, starts,
+    counts, Bd)`` with a leading shard axis on every stream array.
+    """
+    from .packed_epoch import _sorted_side, shard_slices
+    from .sorted_accum import window_ranges
+
+    S, B = u2.shape
+    starts, counts, Bd = shard_slices(u2, 0, rw, n, tile, slots=1)
+    rw_l = rw // n
+    sent = rw_l  # local sentinel: outside every window, gather clamps
+    u_loc = np.full((n, S, Bd), sent, np.int32)
+    i_loc = np.zeros((n, S, Bd), np.int32)
+    rowsu = np.empty((n, S, Bd // LANES, LANES), np.int32)
+    winw = np.empty((n, S, 2, rw_l // wrows), np.int32)
+    si = np.empty((n, S, Bd), np.int32)
+    rowsi = np.empty((n, S, Bd // LANES, LANES), np.int32)
+    wini = np.empty((n, S, 2, rh // wrows), np.int32)
+    u64 = np.asarray(u2, np.int64)
+    for p in range(n):
+        off = np.int64(p) * rw_l
+        for t in range(S):
+            a, c = int(starts[t, p]), int(counts[t, p])
+            u_loc[p, t, :c] = np.minimum(u64[t, a:a + c] - off, sent)
+            i_loc[p, t, :c] = i2[t, a:a + c]
+            rowsu[p, t] = u_loc[p, t].reshape(Bd // LANES, LANES)
+            winw[p, t, 0], winw[p, t, 1] = window_ranges(
+                u_loc[p, t], rw_l, wrows, tile, align=128)
+        si[p], rowsi[p], wini[p] = _sorted_side(i_loc[p], rh, wrows, tile)
+    return u_loc, rowsu, winw, i_loc, si, rowsi, wini, starts, counts, Bd
+
+
+def wide_shard_masks(mf, si, sj):
+    """Per-epoch (sharded wide engine): the per-shard sorted live masks —
+    :func:`wide_sorted_masks` applied shard-wise to the sliced mask and
+    the per-shard sort permutations.  Returns ``(mi, mj)`` uint8
+    ``(n, S, Bd//128, 128)`` each."""
+    n, S, Bd = mf.shape
+    mi = np.empty((n, S, Bd // LANES, LANES), np.uint8)
+    mj = np.empty((n, S, Bd // LANES, LANES), np.uint8)
+    for p in range(n):
+        mi[p], mj[p] = wide_sorted_masks(mf[p], si[p], sj[p])
+    return mi, mj
+
+
 def prep_static_wide(u2, i2, rw: int, rh: int, wrows: int,
                      tile: int = TILE):
     """Once per fit: folded sorted user rows + W windows (u pre-sorted),

@@ -829,3 +829,130 @@ def sharded_packed_glove_epoch(mesh_ctx, lr, K, rw, rh, wrows_w, wrows_h,
             n_valid, 1).astype(jnp.float32)
 
     return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))
+
+
+def sharded_wide_bpr_epoch(mesh_ctx, opt_name, lr, weight_decay, K,
+                           rw, rh, wrows, interpret, precision="split"):
+    """Explicit shard_map WIDE BPR epoch — the multi-device form of the
+    K >= 128 fused engine (``ops.wide_epoch.wide_bpr_epoch``), closing
+    BASELINE config 5's pod-slice path ("BPR on ML-20M, d=256,
+    row-sharded tables"): round-4's wide engine was single-device and
+    multi-device d >= 128 fits fell back to the sharded XLA epoch
+    (5.83M vs 8.96M int/s at d=256 on one chip, docs/PERF.md).
+
+    Partition mirrors :func:`sharded_packed_bpr_epoch` exactly: the wide
+    ``(rw, Kp)`` W table is row-sharded with shard-contiguous u-sorted
+    sample slices (W gathers, the windowed W accumulation and the W
+    optimizer pass are all fully local — zero W-side communication); the
+    wide H table is replicated, each device accumulates its slice's
+    H gradients over the full catalog with the dual-stream kernel, and
+    ONE ``psum`` of that ``(rh, Kp + 128)`` buffer per step merges them
+    (~27 MB/step over ICI at ML-20M d=256 — cheap next to the ~200
+    MB/step of the row-exchange XLA discipline), after which the
+    deterministic H optimizer pass runs replicated.  Negative streams
+    are drawn GLOBALLY before slicing (``prep_shard_epoch``), so fits
+    are mesh-size-invariant up to float summation order — the sharded
+    analogue of the reference's Hogwild loop
+    (`/root/reference/cymf/bpr.pyx:162-169`) at d >= 128.
+
+    Returns ``fn(W, H, ow, oh, u, rowsu, winw, i, si, rowsi, wini, j,
+    mf, sj, rowsj, winj, mi, mj, n_valid)`` where W/ow are row-sharded
+    ``(rw, Kp)`` trees, H/oh replicated ``(rh, Kp)`` trees, and every
+    stream array carries a leading shard axis ``n`` (from
+    ``ops.wide_epoch.prep_shard_static_wide`` / ``prep_shard_epoch`` +
+    ``wide_shard_masks``).
+    """
+    from ..ops.packed_epoch import TILE, make_packed_optimizer
+    from ..ops.sorted_accum import sorted_accum, sorted_accum_dual
+
+    mesh = mesh_ctx.mesh
+    n = mesh_ctx.num_devices
+    opt = make_packed_optimizer(opt_name, lr)
+    wd = jnp.float32(weight_decay)
+    rw_l = rw // n
+
+    def epoch(W, H, ow, oh, u, rowsu, winw, i, si, rowsi, wini, j, mf,
+              sj, rowsj, winj, mi, mj, n_valid):
+        Kp = W.shape[1]
+        lane = jnp.arange(Kp)
+        payf = (lane < K).astype(jnp.float32)[None, :]
+        payb = (lane < K)[None, :]
+
+        def device_epoch(W_l, H, ow_l, oh, u, rowsu, winw, i, si, rowsi,
+                         wini, j, mf, sj, rowsj, winj, mi, mj):
+            # stream args arrive (1, S, ...) — drop the shard axis
+            (u, rowsu, winw, i, si, rowsi, wini, j, mf, sj, rowsj, winj,
+             mi, mj) = (a[0] for a in (u, rowsu, winw, i, si, rowsi,
+                                       wini, j, mf, sj, rowsj, winj, mi,
+                                       mj))
+
+            def step(carry, xs):
+                W_l, H, ow_l, oh, loss_acc = carry
+                (u, rowsu, ww, i, si, rowsi, wi, j, mf, sj, rowsj, wj,
+                 mi, mj) = xs
+                mfold = mf.reshape(rowsu.shape)
+                # masked/padding samples -> sentinel rows (no window)
+                rowsu_m = jnp.where(mfold > 0, rowsu, rw_l)
+                rowsi_m = jnp.where(mi > 0, rowsi, rh)
+                rowsj_m = jnp.where(mj > 0, rowsj, rh)
+                mff = mf.astype(jnp.float32)
+
+                # local gather: shard slices guarantee every sample's W
+                # row lives here (sentinel rw_l clamps, mask 0)
+                wu = W_l.at[jnp.minimum(u, rw_l - 1)].get(
+                    indices_are_sorted=True, mode="promise_in_bounds")
+                hi, hj = H[i], H[j]
+                x = jnp.sum(wu * (hi - hj), axis=1, keepdims=True)
+                sigm = jax.nn.sigmoid(-x) * mff[:, None]
+                SW = sigm * (hi - hj)
+                Q = sigm * wu
+                l2 = jnp.sum(wu * wu + hi * hi + hj * hj, axis=1)
+                loss_p = jnp.sum(
+                    (-jax.nn.log_sigmoid(x[:, 0]) + wd * l2) * mff)
+
+                Aw = sorted_accum(
+                    rowsu_m, SW, ww[0], ww[1], r_pad=rw_l, wrows=wrows,
+                    tile=TILE, interpret=interpret, precision=precision,
+                    count_lanes=True)
+                nw = Aw[:, Kp:Kp + 1]
+                W_l, ow_l = opt.update(
+                    W_l, ow_l, (-Aw[:, :Kp] + wd * nw * W_l) * payf,
+                    (nw > 0) & payb, K)
+
+                D = sorted_accum_dual(
+                    rowsi_m, Q[si], wi[0], wi[1], rowsj_m, Q[sj], wj[0],
+                    wj[1], r_pad=rh, neg_lanes=Kp, wrows=wrows,
+                    tile=TILE, interpret=interpret, precision=precision,
+                    count_lanes=True)
+                # THE collective: merge per-shard H gradients + counts
+                D = jax.lax.psum(D, ROW_AXIS)
+                loss_step = jax.lax.psum(loss_p, ROW_AXIS)
+                nh = D[:, Kp:Kp + 1]
+                # replicated-deterministic H update (same psum'd inputs
+                # on every device -> shards stay bit-identical)
+                H, oh = opt.update(
+                    H, oh, (D[:, :Kp] + wd * nh * H) * payf,
+                    (nh > 0) & payb, K)
+                return (W_l, H, ow_l, oh, loss_acc + loss_step), None
+
+            init = (W_l, H, ow_l, oh, jnp.zeros((), jnp.float32))
+            (W_l, H, ow_l, oh, loss), _ = jax.lax.scan(
+                step, init, (u, rowsu, winw, i, si, rowsi, wini, j, mf,
+                             sj, rowsj, winj, mi, mj))
+            return W_l, H, ow_l, oh, loss
+
+        table = P(ROW_AXIS, None)
+        stream = P(ROW_AXIS)
+        rep = P()
+        fn = jax.shard_map(
+            device_epoch, mesh=mesh,
+            in_specs=(table, rep, table, rep) + (stream,) * 14,
+            out_specs=(table, rep, table, rep, rep),
+            check_vma=False)
+        W, H, ow, oh, loss = fn(W, H, ow, oh, u, rowsu, winw, i, si,
+                                rowsi, wini, j, mf, sj, rowsj, winj, mi,
+                                mj)
+        return W, H, ow, oh, loss / jnp.maximum(
+            n_valid, 1).astype(jnp.float32)
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2, 3))

@@ -372,3 +372,80 @@ def test_glove_packed_sharded_same_result_1dev_vs_8dev():
     np.testing.assert_allclose(Wx8, Wx1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(b8, b1, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(bx8, bx1, rtol=2e-3, atol=2e-5)
+
+
+def test_bpr_wide_sharded_same_result_1dev_vs_8dev():
+    """The WIDE engine's explicit shard_map form (round 5 — row-sharded
+    wide W, replicated wide H, shard-contiguous sample slices, one
+    (rh, Kp+128) psum per step) must equal the single-device wide
+    engine: negative streams are drawn globally before slicing, so the
+    fit is mesh-size-invariant up to float summation order."""
+    from scipy import sparse
+    X = sparse.random(300, 150, density=0.1, random_state=3, format="csr")
+    X.data[:] = 1.0
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            # sgd: accumulation-ORDER robust (see the packed
+            # non-divisible test's adam first-touch note)
+            m = BPR(num_components=128, learning_rate=0.02,
+                    batch_size=1024, packed="on", optimizer="sgd")
+            m.fit(X, num_epochs=2, verbose=False, seed=3)
+            return m.W.copy(), m.H.copy(), m.last_loss
+
+    W1, H1, l1 = run(jax.devices()[:1])
+    W8, H8, l8 = run(jax.devices())
+    assert W1.shape == (300, 128) and H1.shape == (150, 128)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    np.testing.assert_allclose(W8, W1, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(H8, H1, rtol=2e-3, atol=2e-5)
+
+
+def test_bpr_wide_sharded_nondivisible_adam_1dev_vs_8dev():
+    """Sharded wide engine with adam at shapes where users/items/batch
+    don't divide the mesh — slice boundaries fall mid-stream and the
+    last shard holds all global padding."""
+    d = SyntheticImplicitDataset(num_user=1301, num_item=403, rank=6,
+                                 density=0.01, seed=21)
+
+    def run(devices):
+        with use_mesh(MeshContext.create(devices)):
+            m = BPR(num_components=130, learning_rate=0.02,
+                    batch_size=1024, packed="on")
+            m.fit(d.train, num_epochs=2, verbose=False, seed=9)
+            return m.W.copy(), m.H.copy()
+
+    W1, H1 = run(jax.devices()[:1])
+    W8, H8 = run(jax.devices())
+    assert W1.shape == (1301, 130) and H1.shape == (403, 130)
+    # adam first-touch sign flips under summation reorder bound the
+    # per-element diff at ~2*lr on a tiny fraction of elements
+    assert np.mean(np.abs(W8 - W1) > 4 * 0.02) < 0.005
+    assert np.mean(np.abs(H8 - H1) > 4 * 0.02) < 0.005
+
+
+def test_bpr_wide_sharded_resume_cross_mesh(tmp_path):
+    """A checkpoint written mid-fit by the 8-device sharded wide engine
+    resumes on ONE device (and vice versa) and matches the uninterrupted
+    single-device fit — cross-device-count resume for the wide schema."""
+    from scipy import sparse
+    X = sparse.random(300, 150, density=0.1, random_state=3, format="csr")
+    X.data[:] = 1.0
+    p = str(tmp_path / "ckw.npz")
+    kw = dict(num_components=128, learning_rate=0.02, batch_size=1024,
+              packed="on", optimizer="sgd")
+
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        m0 = BPR(**kw)
+        m0.fit(X, num_epochs=4, verbose=False, seed=3)
+        W_ref, H_ref = m0.W.copy(), m0.H.copy()
+
+    with use_mesh(MeshContext.create(jax.devices())):
+        m1 = BPR(**kw)
+        m1.fit(X, num_epochs=2, verbose=False, seed=3, checkpoint_path=p)
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        m2 = BPR(**kw)
+        m2.fit(X, num_epochs=4, verbose=False, seed=3, checkpoint_path=p,
+               resume=True)
+    np.testing.assert_allclose(m2.W, W_ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(m2.H, H_ref, rtol=2e-3, atol=2e-5)

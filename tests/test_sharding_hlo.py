@@ -661,3 +661,59 @@ def test_glove_packed_sharded_collectives_are_one_context_psum():
     assert not offenders, \
         "collectives beyond the context psum:\n" + "\n".join(offenders)
     assert Bd < B  # the stream really is partitioned
+
+
+def test_wide_sharded_collectives_are_one_item_psum():
+    """The sharded WIDE engine's ONLY collective payload is the
+    (rh, Kp+128) item-gradient+count psum (+ scalars): the row-sharded
+    wide W table, its optimizer moments, and the per-shard sample
+    streams must never cross a device boundary (round 5 — BASELINE
+    config 5's multi-device d >= 128 discipline)."""
+    from cymf_tpu.ops import packed_epoch as pe
+    from cymf_tpu.ops.wide_epoch import (pack_wide, prep_shard_static_wide,
+                                         wide_rows, wide_shard_masks)
+    from cymf_tpu.parallel.shard_step import sharded_wide_bpr_epoch
+
+    WU, WI, WK, WB, WS, WWR, n = 3000, 200, 128, 8192, 1, 64, 8
+    mesh = MeshContext.create(jax.devices()[:n])
+    rng = np.random.default_rng(0)
+    users = np.sort(rng.integers(0, WU, (WS, WB)).astype(np.int32), axis=1)
+    items = rng.integers(0, WI, (WS, WB)).astype(np.int32)
+    rw = wide_rows(WU, WWR * n)
+    rh = wide_rows(WI, WWR)
+    (u_loc, rowsu, winw, i_loc, si, rowsi, wini, starts, counts, Bd) = \
+        prep_shard_static_wide(users, items, rw, rh, WWR, n)
+    j2 = rng.integers(0, WI, (WS, WB)).astype(np.int32)
+    mask = np.ones((WS, WB), np.uint8)
+    j_loc, mf, sj, rowsj, winj = pe.prep_shard_epoch(
+        j2, mask, starts, counts, Bd, rh, WWR, n)
+    mi, mj = wide_shard_masks(mf, si, sj)
+    W = jnp.asarray(pack_wide(
+        rng.normal(size=(WU, WK)).astype(np.float32), WK,
+        multiple=WWR * n))
+    H = jnp.asarray(pack_wide(
+        rng.normal(size=(WI, WK)).astype(np.float32), WK, multiple=WWR))
+    opt = pe.make_packed_optimizer("adam", 0.01)
+    ow, oh = opt.init(W), opt.init(H)
+    fn = sharded_wide_bpr_epoch(mesh, "adam", 0.01, 0.01, WK, rw, rh,
+                                WWR, interpret=True)
+    lowered = fn.lower(W, H, ow, oh, *(jnp.asarray(a) for a in (
+        u_loc, rowsu, winw, i_loc, si, rowsi, wini, j_loc, mf, sj,
+        rowsj, winj, mi, mj)), jnp.asarray(WS * WB, jnp.int32))
+    compiled = lowered.compile()
+    text = compiled.as_text()
+    assert "all-reduce" in text, "expected the designed H psum"
+    allowed = rh * (WK + 128)  # the designed item psum payload
+    offenders = []
+    for line in text.splitlines():
+        if not any(c in line for c in _COLLECTIVES):
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([0-9,]+)\]", line):
+            dims = [int(d) for d in shape.split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            if elems > allowed:
+                offenders.append(line.strip()[:160])
+    assert not offenders, \
+        "collectives beyond the item psum found:\n" + "\n".join(offenders)
+    # and the per-device stream is a real partition, not a replica
+    assert Bd <= WB // 3, (Bd, WB)
