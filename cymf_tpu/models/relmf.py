@@ -158,10 +158,25 @@ class RelMF(MFTrainerBase, PersistenceMixin):
             raise ValueError("packed must be auto|on|off")
         self.packed = packed
 
+    @staticmethod
+    def _packed_prep_mode() -> str:
+        """'device' (default, round 5): draws/labels/sorts/windows are
+        traced into the epoch scan (`ops/relmf_epoch.py::
+        packed_relmf_epoch_device`) — zero per-epoch host streams, no
+        epoch-size cap.  'host' (CYMF_TPU_RELMF_PREP=host): the round-4
+        per-epoch host/native prep pipeline."""
+        import os
+        mode = os.environ.get("CYMF_TPU_RELMF_PREP", "device").lower()
+        if mode not in ("device", "host"):
+            raise ValueError("CYMF_TPU_RELMF_PREP must be device|host")
+        return mode
+
     def _packed_engine(self, binary: bool, cells: int) -> bool:
         """Select the packed fused engine (`ops/relmf_epoch.py`):
         single-device fits on binarized matrices with a packable payload.
-        The whole cell stream is host-drawn per epoch, so epochs beyond
+        With on-device prep (the round-5 default) there is NO epoch-size
+        cap; under ``CYMF_TPU_RELMF_PREP=host`` the whole cell stream is
+        host-drawn per epoch, so epochs beyond
         ``CYMF_TPU_RELMF_PACKED_MAX_CELLS`` (default 2^27 ~= 134M cells,
         ~2.3GB of host streams) stay on the chunked in-jit XLA path —
         at ML-20M's 3.7B cells/epoch host prep would dominate."""
@@ -178,14 +193,16 @@ class RelMF(MFTrainerBase, PersistenceMixin):
             return False
         limit = int(os.environ.get("CYMF_TPU_RELMF_PACKED_MAX_CELLS",
                                    1 << 27))
+        capped = (self._packed_prep_mode() == "host" and cells > limit)
         ok = (binary and supports_packed_relmf(self.num_components)
-              and self.mesh.num_devices == 1 and cells <= limit)
+              and self.mesh.num_devices == 1 and not capped)
         if self.packed == "on":
             if not ok:
                 raise ValueError(
                     "packed='on' requires a single-device mesh, a "
-                    "binarized matrix, num_components <= 126, and "
-                    "U*I <= CYMF_TPU_RELMF_PACKED_MAX_CELLS "
+                    "binarized matrix, num_components <= 126, and (with "
+                    "CYMF_TPU_RELMF_PREP=host) U*I <= "
+                    "CYMF_TPU_RELMF_PACKED_MAX_CELLS "
                     f"(= {limit}; got {cells} cells/epoch)")
             return True
         import jax
@@ -348,11 +365,14 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         S = max(1, -(-(U * I) // B))  # N = U*I samples per epoch
         self._samples_per_epoch = S * B
 
+        prep_mode = self._packed_prep_mode()
         from ..ops.packed_epoch import prep_backend
-        self.prep_backend_ = prep_backend()
+        self.prep_backend_ = ("device-threefry" if prep_mode == "device"
+                              else prep_backend())
         coo = X.tocoo()
         pos_keys = np.sort(coo.row.astype(np.int64) * I + coo.col)
-        self._key_filter = make_reject_filter(pos_keys, U, I)
+        self._key_filter = make_reject_filter(pos_keys, U, I) \
+            if prep_mode == "host" else None
         invp = np.zeros((rh, 1), np.float32)
         invp[:I, 0] = 1.0 / np.maximum(props, self.clip_value)
         invp_d = jnp.asarray(invp)
@@ -361,7 +381,8 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         Hp = jnp.asarray(pkm.pack_logical(self.H, K, multiple=wrows_h))
         opt = make_packed_optimizer(self.optimizer, self.learning_rate)
         ow, oh = opt.init(Wp), opt.init(Hp)
-        n_valid = jnp.asarray(S * B, jnp.int32)
+        # f32: ML-20M's 3.7e9 cells/epoch overflow int32
+        n_valid = jnp.asarray(float(S) * B, jnp.float32)
 
         def publish():
             self._state = {"W": unpack_device(Wp, K),
@@ -381,19 +402,52 @@ class RelMF(MFTrainerBase, PersistenceMixin):
 
         self._last_loss_dev = None
 
-        def epoch_fn(epoch):
-            nonlocal Wp, Hp, ow, oh
-            u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
-                seed, epoch, S, B, U, I, K, rw, rh, wrows_w, wrows_h,
-                pos_keys, key_filter=self._key_filter)
-            Wp, Hp, ow, oh, self._last_loss_dev = packed_relmf_epoch(
-                Wp, Hp, ow, oh, jnp.asarray(u2), jnp.asarray(i2),
-                jnp.asarray(lab), jnp.asarray(si), jnp.asarray(rowsi),
-                jnp.asarray(wini), jnp.asarray(winw), invp_d, n_valid,
-                opt_name=self.optimizer, lr=self.learning_rate,
-                weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
-                wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
-            publish()
+        if prep_mode == "device":
+            # on-device prep (round 5): draws/labels/sorts/windows are
+            # traced into the scan; long epochs chunk into <=2048-step
+            # dispatches with a traced step offset (RNG-transparent)
+            import os
+
+            from ..ops.hashset import build_pair_hashset
+            from ..ops.relmf_epoch import packed_relmf_epoch_device
+            hs = build_pair_hashset(coo.row, coo.col)
+            hs = jax.tree_util.tree_map(jnp.asarray, hs)
+            base_key = jax.random.PRNGKey(seed)
+            chunk = int(os.environ.get("CYMF_TPU_RELMF_CHUNK_STEPS",
+                                       "2048"))
+            spans = [(off, min(chunk, S - off))
+                     for off in range(0, S, chunk)]
+
+            def epoch_fn(epoch):
+                nonlocal Wp, Hp, ow, oh
+                key = jax.random.fold_in(base_key, epoch)
+                loss = None
+                for off, sc in spans:
+                    Wp, Hp, ow, oh, l = packed_relmf_epoch_device(
+                        Wp, Hp, ow, oh, hs, invp_d, key,
+                        jnp.asarray(off, jnp.int32), n_valid,
+                        S=sc, B=B, num_users=U, num_items=I,
+                        opt_name=self.optimizer, lr=self.learning_rate,
+                        weight_decay=self.weight_decay, K=K, rw=rw,
+                        rh=rh, wrows_w=wrows_w, wrows_h=wrows_h,
+                        interpret=interpret)
+                    loss = l if loss is None else loss + l
+                self._last_loss_dev = loss
+                publish()
+        else:
+            def epoch_fn(epoch):
+                nonlocal Wp, Hp, ow, oh
+                u2, i2, lab, winw, si, rowsi, wini = prep_relmf_epoch(
+                    seed, epoch, S, B, U, I, K, rw, rh, wrows_w, wrows_h,
+                    pos_keys, key_filter=self._key_filter)
+                Wp, Hp, ow, oh, self._last_loss_dev = packed_relmf_epoch(
+                    Wp, Hp, ow, oh, jnp.asarray(u2), jnp.asarray(i2),
+                    jnp.asarray(lab), jnp.asarray(si), jnp.asarray(rowsi),
+                    jnp.asarray(wini), jnp.asarray(winw), invp_d, n_valid,
+                    opt_name=self.optimizer, lr=self.learning_rate,
+                    weight_decay=self.weight_decay, K=K, rw=rw, rh=rh,
+                    wrows_w=wrows_w, wrows_h=wrows_h, interpret=interpret)
+                publish()
 
         def snapshot_fn():
             return (self.W, self.H)

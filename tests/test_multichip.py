@@ -50,10 +50,14 @@ def test_graft_dryrun_multichip():
 
 
 def test_graft_entry_compiles():
+    """entry() is the flagship packed v4 step (round 5): it returns the
+    updated packed tables + the step loss."""
     import __graft_entry__ as g
     fn, args = g.entry()
-    loss = jax.jit(fn)(*args)
+    Wp, Hp, loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(Wp)).all()
+    assert Wp.shape == args[0].shape and Hp.shape == args[1].shape
 
 
 def test_relmf_same_result_1dev_vs_8dev(data):

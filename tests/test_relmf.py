@@ -282,3 +282,77 @@ class TestPackedRelMF:
         X.data[:] = 1.0
         with pytest.raises(ValueError, match="engine"):
             m.fit(X, num_epochs=1, verbose=False)
+
+    def test_window_ranges_device_matches_host(self):
+        """The in-jit window builder (round-5 on-device prep) is
+        bit-identical to the host `window_ranges` (align=128 path) on
+        random sorted streams, including empty windows and the
+        chunk-overrun re-anchor."""
+        import jax.numpy as jnp
+
+        from cymf_tpu.ops.relmf_epoch import window_ranges_device
+        from cymf_tpu.ops.sorted_accum import window_ranges
+
+        rng = np.random.default_rng(0)
+        for B, r_pad, wrows in ((1024, 512, 256), (2048, 1024, 256),
+                                (4096, 256, 256), (1024, 2048, 256)):
+            for trial in range(4):
+                # skewed draws: some windows empty, some dense
+                rows = np.sort(rng.integers(
+                    0, max(r_pad // (trial + 1), 1), B)).astype(np.int32)
+                hs, hc = window_ranges(rows, r_pad, wrows, 1024,
+                                       align=128)
+                ds, dc = window_ranges_device(
+                    jnp.asarray(rows), r_pad, wrows, 1024)
+                np.testing.assert_array_equal(np.asarray(ds), hs)
+                np.testing.assert_array_equal(np.asarray(dc), hc)
+
+    def test_fit_device_prep_quality_and_chunking(self, monkeypatch):
+        """The on-device prep engine (default) reaches XLA-engine quality
+        and is chunk-size invariant (the traced step offset makes
+        re-dispatch RNG-transparent)."""
+        import jax
+
+        import cymf_tpu
+        from cymf_tpu.dataset import SyntheticImplicitDataset
+        from cymf_tpu.parallel import MeshContext, use_mesh
+
+        d = SyntheticImplicitDataset(num_user=300, num_item=200, rank=5,
+                                     density=0.08, seed=11)
+        ev = cymf_tpu.AoaEvaluator(d.test, d.train, metrics=["DCG"], k=5)
+        kw = dict(num_components=10, learning_rate=0.01, batch_size=4096)
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            m = cymf_tpu.RelMF(packed="on", **kw)
+            m.fit(d.train, num_epochs=8, verbose=False, seed=3)
+            assert m.prep_backend_ == "device-threefry"
+            dcg_dev = ev.evaluate(m.W, m.H)["DCG@5"]
+
+            mx = cymf_tpu.RelMF(packed="off", **kw)
+            mx.fit(d.train, num_epochs=8, verbose=False, seed=3)
+            assert dcg_dev > 0.8 * ev.evaluate(mx.W, mx.H)["DCG@5"]
+
+            # chunk-size invariance: 2-step chunks == one big scan
+            monkeypatch.setenv("CYMF_TPU_RELMF_CHUNK_STEPS", "2")
+            m2 = cymf_tpu.RelMF(packed="on", **kw)
+            m2.fit(d.train, num_epochs=2, verbose=False, seed=3)
+            monkeypatch.delenv("CYMF_TPU_RELMF_CHUNK_STEPS")
+            m3 = cymf_tpu.RelMF(packed="on", **kw)
+            m3.fit(d.train, num_epochs=2, verbose=False, seed=3)
+            np.testing.assert_allclose(m2.W, m3.W, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(m2.H, m3.H, rtol=1e-5, atol=1e-6)
+
+    def test_packed_cap_applies_only_to_host_prep(self, monkeypatch):
+        """Round-5: the epoch-size cap is a host-prep artifact — device
+        prep (default) has no cap; CYMF_TPU_RELMF_PREP=host restores it."""
+        import jax
+
+        import cymf_tpu
+        from cymf_tpu.parallel import MeshContext, use_mesh
+
+        huge = 1 << 40
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            m = cymf_tpu.RelMF(num_components=8, packed="on")
+            assert m._packed_engine(True, huge) is True
+            monkeypatch.setenv("CYMF_TPU_RELMF_PREP", "host")
+            with pytest.raises(ValueError, match="MAX_CELLS"):
+                m._packed_engine(True, huge)
