@@ -484,16 +484,17 @@ def bench_relmf_packed():
 
 
 def bench_relmf_ml20m():
-    """RelMF at ML-20M shapes (VERDICT r1 #7): compiles and times the real
-    scan at U x I = 3.7e9 cells/epoch, B=131072 (28,255 scan steps/epoch).
-    BENCH_SMALL times a 1,000-step slice of the same compiled scan."""
+    """RelMF at ML-20M shapes (VERDICT r1 #7): U x I = 3.7e9 cells/epoch,
+    B=131072 (28,259 scan steps/epoch).  Round 5: runs the PACKED engine
+    with ON-DEVICE epoch prep (`ops/relmf_epoch.py::
+    packed_relmf_epoch_device`) — what ``RelMF.fit`` now auto-selects at
+    this scale (the host-prep cell cap is gone); measured 26.6M vs the
+    XLA engine's 18.2M cells/s.  ``BENCH_RELMF_ENGINE=xla`` pins the
+    chunked XLA scan; BENCH_SMALL times a 1,000-step slice."""
     import jax
     import jax.numpy as jnp
-    from scipy import sparse
 
-    from cymf_tpu import config
     from cymf_tpu.dataset.synthetic import bench_interactions
-    from cymf_tpu.models.relmf import _relmf_epoch_jit
     from cymf_tpu.ops.hashset import build_pair_hashset
 
     U, I = 138493, 26744
@@ -501,45 +502,84 @@ def bench_relmf_ml20m():
     K = int(os.environ.get("BENCH_DIM", "20"))
     full_steps = -(-(U * I) // B)
     steps = 1000 if os.environ.get("BENCH_SMALL") == "1" else full_steps
-
-    users, items = bench_interactions(U, I, 20_000_263, seed=0)
-    X = sparse.csr_matrix(
-        (np.ones(len(users), np.float32), (users, items)), shape=(U, I))
-    coo = X.tocoo()
-    hs = build_pair_hashset(coo.row, coo.col)
-    col_mean = np.asarray(X.mean(axis=0)).flatten()
-    props = jnp.asarray(
-        (np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5)[:, None],
-        dtype=config.param_dtype())
-
     rng = np.random.default_rng(0)
-    W = jnp.asarray(rng.uniform(-0.1, 0.1, (U, K)) / K, jnp.float32)
-    H = jnp.asarray(rng.uniform(-0.1, 0.1, (I, K)) / K, jnp.float32)
-    # chunked exactly like RelMF.fit: one compiled scan re-dispatched per
-    # offset (a single 28k-step device call is killed by relay RPC
-    # deadlines in this environment — models/relmf.py::_relmf_epoch)
-    from cymf_tpu.models.relmf import _CHUNK_STEPS
-    ch = min(steps, _CHUNK_STEPS)
-    n_full, rem = divmod(steps, ch)
-    opt, chunk = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I, ch, B,
-                                  "dense", True)
-    parts = [(chunk, ch)] * n_full
-    if rem:
-        parts.append((_relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I,
-                                       rem, B, "dense", True)[1], rem))
-    state = [W, H, opt.init(W), opt.init(H)]
+    users, items = bench_interactions(U, I, 20_000_263, seed=0)
     key = jax.random.PRNGKey(0)
 
-    def run():
-        loss = jnp.zeros(())
-        off = 0
-        for fn, n in parts:
-            state[0], state[1], state[2], state[3], l = fn(
-                state[0], state[1], state[2], state[3], hs, props, key,
-                jnp.asarray(off, jnp.int32))
-            loss = loss + l
-            off += n
-        return loss
+    if os.environ.get("BENCH_RELMF_ENGINE", "packed") == "xla":
+        from scipy import sparse
+
+        from cymf_tpu import config
+        from cymf_tpu.models.relmf import _CHUNK_STEPS, _relmf_epoch_jit
+        X = sparse.csr_matrix(
+            (np.ones(len(users), np.float32), (users, items)),
+            shape=(U, I))
+        hs = build_pair_hashset(users, items)
+        col_mean = np.asarray(X.mean(axis=0)).flatten()
+        props = jnp.asarray(
+            (np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5)[:, None],
+            dtype=config.param_dtype())
+        W = jnp.asarray(rng.uniform(-0.1, 0.1, (U, K)) / K, jnp.float32)
+        H = jnp.asarray(rng.uniform(-0.1, 0.1, (I, K)) / K, jnp.float32)
+        ch = min(steps, _CHUNK_STEPS)
+        n_full, rem = divmod(steps, ch)
+        opt, chunk = _relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I, ch,
+                                      B, "dense", True)
+        parts = [(chunk, ch)] * n_full
+        if rem:
+            parts.append((_relmf_epoch_jit("adam", 0.001, 0.01, 0.1, U, I,
+                                           rem, B, "dense", True)[1], rem))
+        state = [W, H, opt.init(W), opt.init(H)]
+
+        def run():
+            loss = jnp.zeros(())
+            off = 0
+            for fn, n in parts:
+                state[0], state[1], state[2], state[3], l = fn(
+                    state[0], state[1], state[2], state[3], hs, props,
+                    key, jnp.asarray(off, jnp.int32))
+                loss = loss + l
+                off += n
+            return loss
+    else:
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.packed_epoch import make_packed_optimizer
+        from cymf_tpu.ops.relmf_epoch import packed_relmf_epoch_device
+
+        WR = 256
+        rw = pk.packed_rows(U, K, multiple=WR)
+        rh = pk.logical_rows(I, multiple=WR)
+        hs = jax.tree_util.tree_map(
+            jnp.asarray, build_pair_hashset(users, items))
+        col_mean = np.bincount(items, minlength=I).astype(np.float64) / U
+        props = np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5
+        invp = np.zeros((rh, 1), np.float32)
+        invp[:I, 0] = 1.0 / np.maximum(props, 0.1)
+        invp_d = jnp.asarray(invp)
+        Wp = jnp.asarray(pk.pack_array(
+            rng.uniform(-0.1, 0.1, (U, K)).astype(np.float32) / K, K,
+            multiple=WR))
+        Hp = jnp.asarray(pk.pack_logical(
+            rng.uniform(-0.1, 0.1, (I, K)).astype(np.float32) / K, K,
+            multiple=WR))
+        opt = make_packed_optimizer("adam", 0.001)
+        state = [Wp, Hp, opt.init(Wp), opt.init(Hp)]
+        n_valid = jnp.asarray(float(full_steps) * B, jnp.float32)
+        CH = 2048
+
+        def run():
+            loss = jnp.zeros(())
+            for off in range(0, steps, CH):
+                sc = min(CH, steps - off)
+                (state[0], state[1], state[2], state[3],
+                 l) = packed_relmf_epoch_device(
+                    state[0], state[1], state[2], state[3], hs, invp_d,
+                    key, jnp.asarray(off, jnp.int32), n_valid, S=sc, B=B,
+                    num_users=U, num_items=I, opt_name="adam", lr=0.001,
+                    weight_decay=0.01, K=K, rw=rw, rh=rh, wrows_w=WR,
+                    wrows_h=WR, interpret=False)
+                loss = loss + l
+            return loss
 
     reps = int(os.environ.get("BENCH_EPOCHS", "1"))
     dt, _ = _bench_device(run, lambda x: float(jax.device_get(x)), reps)
@@ -803,12 +843,18 @@ def main():
                           "error": err}))
         return
     if model == "all":
+        import gc
         results = {}
         for name, fn in _MODES.items():
             try:
                 results[name] = fn()
             except Exception as e:  # record, keep going
                 results[name] = {"metric": name, "error": str(e)[:400]}
+            # drop the finished bench's device buffers (tables, hash
+            # sets, streams): residual HBM pressure from earlier modes
+            # measurably slowed later gather-heavy ones (round-4
+            # BENCH_ALL evaluator 65.3k vs 94.9k standalone)
+            gc.collect()
         with open("BENCH_ALL.json", "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps(results["bpr"]))

@@ -377,8 +377,17 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         invp[:I, 0] = 1.0 / np.maximum(props, self.clip_value)
         invp_d = jnp.asarray(invp)
 
+        def inject_invp(Hp):
+            # device prep reads 1/max(p_i, M) from Hp's lane K (brought
+            # along by the item gather for free); gradients are
+            # payload-masked so every optimizer pass preserves it
+            if prep_mode != "device":
+                return Hp
+            return Hp.at[:, K].set(jnp.asarray(invp[:, 0]))
+
         Wp = jnp.asarray(pkm.pack_array(self.W, K, multiple=wrows_w))
-        Hp = jnp.asarray(pkm.pack_logical(self.H, K, multiple=wrows_h))
+        Hp = inject_invp(
+            jnp.asarray(pkm.pack_logical(self.H, K, multiple=wrows_h)))
         opt = make_packed_optimizer(self.optimizer, self.learning_rate)
         ow, oh = opt.init(Wp), opt.init(Hp)
         # f32: ML-20M's 3.7e9 cells/epoch overflow int32
@@ -398,6 +407,7 @@ class RelMF(MFTrainerBase, PersistenceMixin):
             Wp, Hp, ow, oh = _packed_resume_state(
                 flat, U, I, K, wrows_w, wrows_h, ow, oh,
                 jnp.asarray, jnp.asarray)
+            Hp = inject_invp(Hp)  # resume re-packs lanes >= K to zero
             publish()
 
         self._last_loss_dev = None
@@ -424,7 +434,7 @@ class RelMF(MFTrainerBase, PersistenceMixin):
                 loss = None
                 for off, sc in spans:
                     Wp, Hp, ow, oh, l = packed_relmf_epoch_device(
-                        Wp, Hp, ow, oh, hs, invp_d, key,
+                        Wp, Hp, ow, oh, hs, key,
                         jnp.asarray(off, jnp.int32), n_valid,
                         S=sc, B=B, num_users=U, num_items=I,
                         opt_name=self.optimizer, lr=self.learning_rate,

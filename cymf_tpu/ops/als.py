@@ -134,6 +134,52 @@ def wmf_chunk_solve(Y, A0, idx_pad, valid, weight, *, solver: str):
 
 
 @functools.partial(jax.jit, static_argnames=("solver",))
+def wmf_chunk_solve_woodbury(Y, A0inv, idx_pad, valid, weight, *,
+                             solver: str = "cholesky"):
+    """WMF chunk solve via the Woodbury identity (round 5 — the ALS
+    d>=128 MXU lever, verdict #4).  Identical solution to
+    :func:`wmf_chunk_solve`:
+
+        x = (A0 + (c-1) U U^T)^{-1} (c U 1)
+          = A0i b - T (I/(c-1) + U^T T)^{-1} (U^T A0i b),  T = A0i U
+
+    Why: the standard form's correction einsum ``cpk,cpl->ckl``
+    contracts over the DEGREE pad ``P`` — for small-degree buckets the
+    MXU systolic depth is P/128-utilized (measured 2-6% at P<=16,
+    docs/measurements/r5/als_roofline.log).  Every large matmul here
+    (``A0i U``, ``U^T T``) contracts over ``K`` instead (full depth at
+    K>=128), leaving only a tiny batched P x P Cholesky.  The trainer
+    routes chunks with small ``P`` here and large-``P`` chunks to the
+    standard form (where contraction depth is already >= 128).
+
+    ``A0inv`` is the inverse of the half-sweep's shared
+    ``Y^T Y + wd I`` (one K x K inversion per half-sweep).  Requires
+    ``weight > 1`` (the reference default is 10, `wmf.pyx:46`).
+    """
+    mask = valid[..., None].astype(Y.dtype)
+    Ug = Y[idx_pad] * mask                                  # (C, P, K)
+    b = weight * jnp.sum(Ug, axis=1)                        # (C, K)
+    T = jnp.einsum("kl,cpl->cpk", A0inv, Ug,
+                   preferred_element_type=jnp.float32)      # (C, P, K)
+    P = Ug.shape[1]
+    M = (jnp.eye(P, dtype=jnp.float32) / (weight - 1.0)
+         + jnp.einsum("cpk,cqk->cpq", Ug, T,
+                      preferred_element_type=jnp.float32))
+    A0ib = jnp.einsum("kl,cl->ck", A0inv, b,
+                      preferred_element_type=jnp.float32)
+    UtA0ib = jnp.einsum("cpk,ck->cp", Ug, A0ib,
+                        preferred_element_type=jnp.float32)
+    # padded (all-invalid) P positions contribute zero rows to M; the
+    # identity diagonal keeps it SPD, and their z entries multiply zero
+    # columns of T — the padding is self-cancelling
+    z = _SOLVERS[solver](M, UtA0ib)
+    x = A0ib - jnp.einsum("cpk,cp->ck", T, z,
+                          preferred_element_type=jnp.float32)
+    nonempty = jnp.any(valid, axis=1, keepdims=True)
+    return jnp.where(nonempty, x, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("solver",))
 def weighted_chunk_solve(Y, A0, idx_pad, valid, entry_weights, *,
                          solver: str):
     """General per-entry-weighted chunk solve:

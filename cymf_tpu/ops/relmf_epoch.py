@@ -155,7 +155,7 @@ def _sorted_side_device(vals, r_pad: int, wrows: int, tile: int = TILE):
                      "lr", "weight_decay", "K", "rw", "rh", "wrows_w",
                      "wrows_h", "interpret", "precision"),
     donate_argnums=(0, 1, 2, 3))
-def packed_relmf_epoch_device(Wp, Hp, ow, oh, hs, invp, key, t0,
+def packed_relmf_epoch_device(Wp, Hp, ow, oh, hs, key, t0,
                               n_valid, *, S, B, num_users, num_items,
                               opt_name, lr, weight_decay, K, rw, rh,
                               wrows_w=256, wrows_h=256, interpret=False,
@@ -184,6 +184,15 @@ def packed_relmf_epoch_device(Wp, Hp, ow, oh, hs, invp, key, t0,
     advancing ``t0``; draws depend only on ``fold_in(key, t0 + step)``,
     so chunking is RNG-transparent.  ``S`` is this dispatch's scan
     length.
+
+    ``invp`` rides on LANE ``K`` of the ``Hp`` table (the trainer
+    injects it — :meth:`RelMF._fit_packed_relmf`): the item gather the
+    step already performs brings ``1/max(p_i, M)`` along for free,
+    where a separate ``invp[i_s]`` gather measured 0.29 ms/step
+    (docs/measurements/r5/prep_ablate.log).  Lane ``K`` survives every
+    optimizer pass because gradients are payload-masked (lanes >= K are
+    exactly zero in ``gbh``), and the decoration overwrites lanes
+    >= K in the STREAM, so the kernel never sees it as payload.
     """
     from .hashset import hashset_contains
 
@@ -212,12 +221,12 @@ def packed_relmf_epoch_device(Wp, Hp, ow, oh, hs, invp, key, t0,
         ws, wc = window_ranges_device(phys, rw, wrows_w)
         si, rowsi, is_, ic = _sorted_side_device(i_s, rh, wrows_h)
 
-        th = lab_f * invp[i_s, 0]
         Du = decorate(Wp.at[phys].get(
             indices_are_sorted=True, mode="promise_in_bounds"),
             slot, ones, K)
-        Dx = decorate_x(Hp.at[i_s].get(mode="promise_in_bounds"), ones,
-                        th, K)
+        Dxg = Hp.at[i_s].get(mode="promise_in_bounds")
+        th = lab_f * Dxg[:, K]  # invp rides the gathered row's lane K
+        Dx = decorate_x(Dxg, ones, th, K)
         SW, Q, lossp = glove_sample_phase(Du, Dx, Kp=K,
                                           interpret=interpret)
 

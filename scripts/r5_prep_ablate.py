@@ -52,14 +52,16 @@ def bench(name, fn):
 
 
 def scan(body):
+    # hs/invp must be ARGUMENTS: closure constants >200MB embed in the
+    # remote-compile request and the relay 413s (CLAUDE.md)
     @jax.jit
-    def f(key):
+    def f(key, hs, invp):
         def step(c, t):
             kt = jax.random.fold_in(key, t)
-            return c + body(kt), None
+            return c + body(kt, hs, invp), None
         out, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(S))
         return out
-    return f
+    return lambda key: f(key, hs, invp)
 
 
 def draws(kt):
@@ -70,10 +72,10 @@ def draws(kt):
     return u, i
 
 
-A = scan(lambda kt: draws(kt)[0][0].astype(jnp.float32))
+A = scan(lambda kt, hs, invp: draws(kt)[0][0].astype(jnp.float32))
 
 
-def b_body(kt):
+def b_body(kt, hs, invp):
     u, i = draws(kt)
     lab = hashset_contains(hs, u, i)
     return lab[0].astype(jnp.float32)
@@ -82,7 +84,7 @@ def b_body(kt):
 Bf = scan(b_body)
 
 
-def c_body(kt):
+def c_body(kt, hs, invp):
     u, i = draws(kt)
     lab = hashset_contains(hs, u, i)
     val = i * 2 + lab.astype(jnp.int32)
@@ -93,7 +95,7 @@ def c_body(kt):
 Cf = scan(c_body)
 
 
-def d_body(kt):
+def d_body(kt, hs, invp):
     u, i = draws(kt)
     lab = hashset_contains(hs, u, i)
     val = i * 2 + lab.astype(jnp.int32)
@@ -106,7 +108,7 @@ def d_body(kt):
 Df = scan(d_body)
 
 
-def e_body(kt):
+def e_body(kt, hs, invp):
     u, i = draws(kt)
     lab = hashset_contains(hs, u, i)
     val = i * 2 + lab.astype(jnp.int32)
@@ -132,3 +134,54 @@ tE = bench("E +windows+invp (full prep)", Ef)
 print(f"deltas: hash={1e3*(tB-tA):.3f} usort={1e3*(tC-tB):.3f} "
       f"isort={1e3*(tD-tC):.3f} wins={1e3*(tE-tD):.3f} ms/step",
       flush=True)
+
+
+# F: full prep with the round-5 invp-on-lane trick and NO searchsorted
+# (windows replaced by static ranges) — isolates the window-build cost
+def f_body(kt, hs, invp):
+    u, i = draws(kt)
+    lab = hashset_contains(hs, u, i)
+    val = i * 2 + lab.astype(jnp.int32)
+    su, sval = jax.lax.sort_key_val(u, val)
+    i_s = sval // 2
+    lab_f = (sval & 1).astype(jnp.float32)
+    phys = su // s_slots
+    srt, perm = jax.lax.sort_key_val(i_s, jnp.arange(B, dtype=jnp.int32))
+    th = lab_f * jnp.float32(3.0)  # invp rides the item gather now
+    return (th[0] + phys[0] + srt[0] + perm[0]).astype(jnp.float32)
+
+
+Ff = scan(f_body)
+tF = bench("F prep sans windows (invp on lane)", Ff)
+print(f"   -> window-build cost = E - invp(0.29) - F ~= "
+      f"{1e3*(tE - tF) - 290:.0f} us/step (E includes the old invp "
+      f"gather)", flush=True)
+
+
+# G: windows via compare+matmul edges instead of searchsorted
+def edges_mm(rows_sorted, nw, wrows):
+    bounds = jnp.arange(nw + 1, dtype=jnp.int32) * wrows
+    cmp = (rows_sorted[:, None] < bounds[None, :]).astype(jnp.bfloat16)
+    ones = jnp.ones((1, rows_sorted.shape[0]), jnp.bfloat16)
+    return jnp.dot(ones, cmp,
+                   preferred_element_type=jnp.float32)[0].astype(
+        jnp.int32)
+
+
+def g_body(kt, hs, invp):
+    u, i = draws(kt)
+    lab = hashset_contains(hs, u, i)
+    val = i * 2 + lab.astype(jnp.int32)
+    su, sval = jax.lax.sort_key_val(u, val)
+    i_s = sval // 2
+    lab_f = (sval & 1).astype(jnp.float32)
+    phys = su // s_slots
+    e_w = edges_mm(phys, rw // WR, WR)
+    srt, perm = jax.lax.sort_key_val(i_s, jnp.arange(B, dtype=jnp.int32))
+    e_i = edges_mm(srt, rh // WR, WR)
+    th = lab_f * jnp.float32(3.0)
+    return (th[0] + e_w[0] + e_i[0] + perm[0]).astype(jnp.float32)
+
+
+Gf = scan(g_body)
+tG = bench("G prep with matmul edges", Gf)

@@ -95,3 +95,49 @@ def test_wmf_early_stopping(data):
 def test_wmf_invalid_solver():
     with pytest.raises(ValueError):
         WMF(solver="qr")
+
+
+def test_woodbury_routing_matches_standard(monkeypatch):
+    """The Woodbury chunk solve (round 5 — ALS d>=128 MXU lever) routes
+    small-P chunks and produces the same fit as the standard form."""
+    from scipy import sparse
+
+    from cymf_tpu import WMF
+
+    X = sparse.random(300, 200, density=0.05, random_state=0,
+                      format="csr", data_rvs=lambda n: np.ones(n))
+
+    import jax
+
+    from cymf_tpu.parallel import MeshContext, use_mesh
+
+    def run(mode):
+        monkeypatch.setenv("CYMF_TPU_ALS_WOODBURY", mode)
+        np.random.seed(3)
+        # single-device mesh: the Woodbury routing lives in the
+        # single-chip half-sweep (the shard_map path keeps the
+        # standard form)
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            m = WMF(num_components=16, chunk_size=128)
+            m.fit(X, num_epochs=3, verbose=False)
+            return m.W.copy(), m.H.copy()
+
+    W_off, H_off = run("off")
+    W_on, H_on = run("on")
+    monkeypatch.delenv("CYMF_TPU_ALS_WOODBURY")
+    np.testing.assert_allclose(W_on, W_off, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(H_on, H_off, rtol=2e-3, atol=2e-4)
+
+
+def test_woodbury_invalid_mode(monkeypatch):
+    import jax
+    from scipy import sparse
+
+    from cymf_tpu import WMF
+    from cymf_tpu.parallel import MeshContext, use_mesh
+    monkeypatch.setenv("CYMF_TPU_ALS_WOODBURY", "maybe")
+    X = sparse.random(50, 40, density=0.1, random_state=0, format="csr",
+                      data_rvs=lambda n: np.ones(n))
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        with pytest.raises(ValueError, match="WOODBURY"):
+            WMF(num_components=8).fit(X, num_epochs=1, verbose=False)
