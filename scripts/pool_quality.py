@@ -39,7 +39,9 @@ from cymf_tpu.dataset import SyntheticImplicitDataset  # noqa: E402
 def main():
     print(f"backend={jax.default_backend()} scale={SCALE}", flush=True)
     if SCALE:
-        seeds, epochs, batch = (3, 7), 10, 65536
+        # round 5: 5 seeds (the round-4 2-seed table had no real error
+        # bars — verdict #9)
+        seeds, epochs, batch = (3, 7, 11, 19, 23), 10, 65536
         shape = dict(num_user=12000, num_item=27000, rank=16,
                      density=0.003)
     else:
