@@ -238,6 +238,47 @@ def run_relmf(U, I, K, B, S, wrows, interpret):
     return W, H, float(loss), time.perf_counter() - t0
 
 
+def run_relmf_device(U, I, K, B, S, wrows, interpret):
+    """Round-5 on-device-prep RelMF pipeline (draws/labels/sorts/windows
+    traced into the scan).  threefry is backend-deterministic, so the
+    TPU and interpret runs see IDENTICAL streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from cymf_tpu.ops import packed as pk
+    from cymf_tpu.ops.hashset import build_pair_hashset
+    from cymf_tpu.ops.packed_epoch import (make_packed_optimizer,
+                                           unpack_device)
+    from cymf_tpu.ops.relmf_epoch import packed_relmf_epoch_device
+
+    rng = np.random.default_rng(7)
+    pos = rng.random((U, I)) < 0.02
+    pu, pi = np.nonzero(pos)
+    hs = jax.tree_util.tree_map(jnp.asarray, build_pair_hashset(pu, pi))
+    col_mean = pos.mean(axis=0)
+    props = np.maximum(col_mean / max(col_mean.max(), 1e-12), 1e-5) ** 0.5
+    rw = pk.packed_rows(U, K, multiple=wrows)
+    rh = pk.logical_rows(I, multiple=wrows)
+    W0 = rng.normal(size=(U, K)).astype(np.float32) * 0.1
+    H0 = rng.normal(size=(I, K)).astype(np.float32) * 0.1
+    Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
+    Hp = jnp.asarray(pk.pack_logical(H0, K, multiple=wrows))
+    invp = np.zeros(rh, np.float32)
+    invp[:I] = 1.0 / np.maximum(props, 0.1)
+    Hp = Hp.at[:, K].set(jnp.asarray(invp))  # invp rides lane K
+    opt = make_packed_optimizer("adam", LR)
+    t0 = time.perf_counter()
+    Wp2, Hp2, _, _, loss = packed_relmf_epoch_device(
+        Wp, Hp, opt.init(Wp), opt.init(Hp), hs, jax.random.PRNGKey(3),
+        jnp.asarray(0, jnp.int32), jnp.asarray(float(S * B), jnp.float32),
+        S=S, B=B, num_users=U, num_items=I, opt_name="adam", lr=LR,
+        weight_decay=0.01, K=K, rw=rw, rh=rh, wrows_w=wrows,
+        wrows_h=wrows, interpret=interpret)
+    W = np.asarray(unpack_device(Wp2, K))[:U]
+    H = np.asarray(Hp2[:I, :K])
+    return W, H, float(loss), time.perf_counter() - t0
+
+
 LR = 0.02  # must match run_* lr — the Adam sign-flip drift scale
 
 
@@ -360,6 +401,19 @@ def main():
     except Exception as e:
         results["relmf_packed"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
         print(f"  relmf_packed: FAIL {type(e).__name__}: {e}", flush=True)
+
+    print("[relmf-device] on-device-prep epoch (K=20)", flush=True)
+    try:
+        W_t, H_t, l_t, dt = run_relmf_device(12000, 900, 20, 8192, 2,
+                                             256, interpret=not on_tpu)
+        print(f"  compiled+ran in {dt:.1f}s", flush=True)
+        W_r, H_r, l_r, _ = run_relmf_device(12000, 900, 20, 8192, 2,
+                                            256, interpret=True)
+        _cmp("relmf_device", (W_t, H_t, l_t), (W_r, H_r, l_r), results)
+    except Exception as e:
+        results["relmf_device"] = \
+            f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        print(f"  relmf_device: FAIL {type(e).__name__}: {e}", flush=True)
 
     # which version does the headline bench run? (host-side prep only)
     try:
