@@ -24,6 +24,8 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # standalone invocation from anywhere
+    sys.path.insert(0, REPO)
 LOCAL_DEVICES = 4
 NUM_PROCESSES = 2
 
