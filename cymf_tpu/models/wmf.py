@@ -89,15 +89,27 @@ class WMF(MFTrainerBase, PersistenceMixin):
         if mesh.num_devices > 1:
             # explicit shard_map chunk solves: Gramian = local matmul +
             # psum, C/n systems per device, O(gathered-rows) exchange
-            # (parallel/shard_step.py::sharded_wmf_chunk)
+            # (parallel/shard_step.py::sharded_wmf_chunk); small-P
+            # chunks Woodbury-route at trace time (round 5)
+            import os
+
             from ..parallel.shard_step import sharded_wmf_chunk
             import functools as _ft
+
+            wb_mode = os.environ.get("CYMF_TPU_ALS_WOODBURY", "auto")
+            if wb_mode not in ("auto", "off", "on"):
+                raise ValueError(
+                    "CYMF_TPU_ALS_WOODBURY must be auto|off|on")
+            wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
+                        else (1 << 30) if wb_mode == "on"
+                        else self.num_components)
 
             @_ft.lru_cache(maxsize=None)
             def _chunk_fn():
                 return sharded_wmf_chunk(mesh, self.weight,
                                          self.weight_decay,
-                                         self.num_components, self.solver)
+                                         self.num_components, self.solver,
+                                         wb_max_p)
 
             def half_sweep(target_key: str, source_key: str,
                            chunks: List[AlsChunk]):

@@ -243,7 +243,8 @@ def sharded_relmf_epoch(mesh_ctx, optimizer, weight_decay, clip_value,
 
 
 def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
-                      num_components: int, solver: str):
+                      num_components: int, solver: str,
+                      wb_max_p: int = 0):
     """Explicit shard_map WMF chunk solve — the multi-device analogue of
     ``ops.als.wmf_chunk_solve`` + the target-row scatter.
 
@@ -254,6 +255,11 @@ def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
     + psum, and the row exchange is the O(gathered-rows)
     all_gather/psum_scatter pattern.  Solutions all_gather (C x K, small)
     so each device scatters the target rows it owns.
+
+    ``wb_max_p`` (round 5): chunks whose degree pad ``P`` is <= this
+    solve via the Woodbury identity (`ops.als.wmf_chunk_solve_woodbury`
+    — matmuls contract over K, P x P solves), picked at TRACE time from
+    the chunk's static shape; 0 disables.
 
     Returns ``fn(Y, T, rows, idx_pad, valid) -> T`` (jitted; T donated).
     """
@@ -281,11 +287,29 @@ def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
                                           tiled=True)
             sub = _resolve_rows(Y_s, flat_all, rpd_y).reshape(Cn, Pp, -1)
             sub = sub * valid_loc[..., None].astype(Y_s.dtype)
-            A = A0[None] + (w - 1.0) * jnp.einsum(
-                "cpk,cpl->ckl", sub, sub,
-                preferred_element_type=jnp.float32)
-            b = w * jnp.sum(sub, axis=1)
-            x = _SOLVERS[solver](A, b)
+            if Pp <= wb_max_p and w > 1.0:
+                # Woodbury form (replicated A0 inverse — deterministic,
+                # every shard computes the same psum'd Gramian)
+                A0i = jnp.linalg.inv(A0)
+                b = w * jnp.sum(sub, axis=1)
+                Tm = jnp.einsum("kl,cpl->cpk", A0i, sub,
+                                preferred_element_type=jnp.float32)
+                M = (jnp.eye(Pp, dtype=jnp.float32) / (w - 1.0)
+                     + jnp.einsum("cpk,cqk->cpq", sub, Tm,
+                                  preferred_element_type=jnp.float32))
+                A0ib = jnp.einsum("kl,cl->ck", A0i, b,
+                                  preferred_element_type=jnp.float32)
+                Ub = jnp.einsum("cpk,ck->cp", sub, A0ib,
+                                preferred_element_type=jnp.float32)
+                z = _SOLVERS[solver](M, Ub)
+                x = A0ib - jnp.einsum("cpk,cp->ck", Tm, z,
+                                      preferred_element_type=jnp.float32)
+            else:
+                A = A0[None] + (w - 1.0) * jnp.einsum(
+                    "cpk,cpl->ckl", sub, sub,
+                    preferred_element_type=jnp.float32)
+                b = w * jnp.sum(sub, axis=1)
+                x = _SOLVERS[solver](A, b)
             nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
             x = jnp.where(nonempty, x, 0.0)
             x_all = jax.lax.all_gather(x, ROW_AXIS, tiled=True)  # (C, K)

@@ -111,22 +111,23 @@ def test_woodbury_routing_matches_standard(monkeypatch):
 
     from cymf_tpu.parallel import MeshContext, use_mesh
 
-    def run(mode):
+    def run(mode, n_dev=1):
         monkeypatch.setenv("CYMF_TPU_ALS_WOODBURY", mode)
         np.random.seed(3)
-        # single-device mesh: the Woodbury routing lives in the
-        # single-chip half-sweep (the shard_map path keeps the
-        # standard form)
-        with use_mesh(MeshContext.create(jax.devices()[:1])):
+        with use_mesh(MeshContext.create(jax.devices()[:n_dev])):
             m = WMF(num_components=16, chunk_size=128)
             m.fit(X, num_epochs=3, verbose=False)
             return m.W.copy(), m.H.copy()
 
     W_off, H_off = run("off")
     W_on, H_on = run("on")
-    monkeypatch.delenv("CYMF_TPU_ALS_WOODBURY")
     np.testing.assert_allclose(W_on, W_off, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(H_on, H_off, rtol=2e-3, atol=2e-4)
+    # sharded path: trace-time Woodbury routing in sharded_wmf_chunk
+    W8_on, H8_on = run("on", n_dev=8)
+    monkeypatch.delenv("CYMF_TPU_ALS_WOODBURY")
+    np.testing.assert_allclose(W8_on, W_off, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(H8_on, H_off, rtol=2e-3, atol=2e-4)
 
 
 def test_woodbury_invalid_mode(monkeypatch):
