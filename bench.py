@@ -553,15 +553,17 @@ def bench_relmf_ml20m():
             jnp.asarray, build_pair_hashset(users, items))
         col_mean = np.bincount(items, minlength=I).astype(np.float64) / U
         props = np.maximum(col_mean / col_mean.max(), 1e-5) ** 0.5
-        invp = np.zeros((rh, 1), np.float32)
-        invp[:I, 0] = 1.0 / np.maximum(props, 0.1)
-        invp_d = jnp.asarray(invp)
+        invp = np.zeros(rh, np.float32)
+        invp[:I] = 1.0 / np.maximum(props, 0.1)
         Wp = jnp.asarray(pk.pack_array(
             rng.uniform(-0.1, 0.1, (U, K)).astype(np.float32) / K, K,
             multiple=WR))
         Hp = jnp.asarray(pk.pack_logical(
             rng.uniform(-0.1, 0.1, (I, K)).astype(np.float32) / K, K,
             multiple=WR))
+        # device prep reads 1/max(p,M) from lane K of the item table
+        # (models/relmf.py::inject_invp contract)
+        Hp = Hp.at[:, K].set(jnp.asarray(invp))
         opt = make_packed_optimizer("adam", 0.001)
         state = [Wp, Hp, opt.init(Wp), opt.init(Hp)]
         n_valid = jnp.asarray(float(full_steps) * B, jnp.float32)
@@ -573,7 +575,7 @@ def bench_relmf_ml20m():
                 sc = min(CH, steps - off)
                 (state[0], state[1], state[2], state[3],
                  l) = packed_relmf_epoch_device(
-                    state[0], state[1], state[2], state[3], hs, invp_d,
+                    state[0], state[1], state[2], state[3], hs,
                     key, jnp.asarray(off, jnp.int32), n_valid, S=sc, B=B,
                     num_users=U, num_items=I, opt_name="adam", lr=0.001,
                     weight_decay=0.01, K=K, rw=rw, rh=rh, wrows_w=WR,

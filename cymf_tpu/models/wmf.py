@@ -86,23 +86,31 @@ class WMF(MFTrainerBase, PersistenceMixin):
         wd = self.weight_decay
         weight = jnp.asarray(self.weight, config.param_dtype())
 
+        # Woodbury routing (round 5, verdict #4): small-degree chunks'
+        # correction einsum contracts over P (2-6% MXU depth at P<=16)
+        # and their batched K^3 Cholesky dominates at K>=128; the
+        # Woodbury form contracts over K and solves P x P systems
+        # instead (`ops/als.py::wmf_chunk_solve_woodbury`).  auto:
+        # route P <= K chunks there when weight > 1 AND weight_decay
+        # >= 1e-3 (the explicit f32 A0 inverse loses ~cond*eps digits;
+        # cond(A0) <= ~||YtY||/wd — see the als.py accuracy note).
+        wb_mode = __import__("os").environ.get(
+            "CYMF_TPU_ALS_WOODBURY", "auto")
+        if wb_mode not in ("auto", "off", "on"):
+            raise ValueError("CYMF_TPU_ALS_WOODBURY must be auto|off|on")
+        wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
+                    else (1 << 30) if wb_mode == "on"
+                    else self.num_components
+                    if self.weight_decay >= 1e-3 else 0)
+        self.woodbury_max_p_ = wb_max_p  # routing diagnostic
+
         if mesh.num_devices > 1:
             # explicit shard_map chunk solves: Gramian = local matmul +
             # psum, C/n systems per device, O(gathered-rows) exchange
             # (parallel/shard_step.py::sharded_wmf_chunk); small-P
-            # chunks Woodbury-route at trace time (round 5)
-            import os
-
+            # chunks Woodbury-route at trace time
             from ..parallel.shard_step import sharded_wmf_chunk
             import functools as _ft
-
-            wb_mode = os.environ.get("CYMF_TPU_ALS_WOODBURY", "auto")
-            if wb_mode not in ("auto", "off", "on"):
-                raise ValueError(
-                    "CYMF_TPU_ALS_WOODBURY must be auto|off|on")
-            wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
-                        else (1 << 30) if wb_mode == "on"
-                        else self.num_components)
 
             @_ft.lru_cache(maxsize=None)
             def _chunk_fn():
@@ -120,22 +128,7 @@ class WMF(MFTrainerBase, PersistenceMixin):
                     T = fn(Y, T, ch.rows, ch.idx_pad, ch.valid)
                 self._state[target_key] = T
         else:
-            # Woodbury routing (round 5, verdict #4): small-degree chunks'
-            # correction einsum contracts over P (2-6% MXU depth at
-            # P<=16) and their batched K^3 Cholesky dominates at K>=128;
-            # the Woodbury form contracts over K and solves P x P
-            # systems instead (`ops/als.py::wmf_chunk_solve_woodbury`).
-            # auto: route P <= K chunks there when weight > 1.
-            import os
-
             from ..ops.als import wmf_chunk_solve_woodbury
-            wb_mode = os.environ.get("CYMF_TPU_ALS_WOODBURY", "auto")
-            if wb_mode not in ("auto", "off", "on"):
-                raise ValueError(
-                    "CYMF_TPU_ALS_WOODBURY must be auto|off|on")
-            wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
-                        else (1 << 30) if wb_mode == "on"
-                        else self.num_components)
 
             def half_sweep(target_key: str, source_key: str,
                            chunks: List[AlsChunk]):

@@ -155,19 +155,30 @@ def wmf_chunk_solve_woodbury(Y, A0inv, idx_pad, valid, weight, *,
     ``A0inv`` is the inverse of the half-sweep's shared
     ``Y^T Y + wd I`` (one K x K inversion per half-sweep).  Requires
     ``weight > 1`` (the reference default is 10, `wmf.pyx:46`).
+    Accuracy note: the explicit f32 inverse loses ~cond(A0)*eps digits;
+    the trainer's auto routing therefore requires ``weight_decay >=
+    1e-3`` (cond <= ~||YtY||/wd) and keeps the Cholesky standard form
+    otherwise.
     """
     mask = valid[..., None].astype(Y.dtype)
     Ug = Y[idx_pad] * mask                                  # (C, P, K)
-    b = weight * jnp.sum(Ug, axis=1)                        # (C, K)
-    T = jnp.einsum("kl,cpl->cpk", A0inv, Ug,
+    return woodbury_core(Ug, A0inv, valid, weight, solver)
+
+
+def woodbury_core(sub, A0inv, valid, weight, solver: str):
+    """The Woodbury solve on already-gathered, mask-zeroed rows ``sub``
+    (C, P, K) — shared by :func:`wmf_chunk_solve_woodbury` and the
+    shard_map chunk solver (which resolves rows collectively)."""
+    b = weight * jnp.sum(sub, axis=1)                       # (C, K)
+    T = jnp.einsum("kl,cpl->cpk", A0inv, sub,
                    preferred_element_type=jnp.float32)      # (C, P, K)
-    P = Ug.shape[1]
+    P = sub.shape[1]
     M = (jnp.eye(P, dtype=jnp.float32) / (weight - 1.0)
-         + jnp.einsum("cpk,cqk->cpq", Ug, T,
+         + jnp.einsum("cpk,cqk->cpq", sub, T,
                       preferred_element_type=jnp.float32))
     A0ib = jnp.einsum("kl,cl->ck", A0inv, b,
                       preferred_element_type=jnp.float32)
-    UtA0ib = jnp.einsum("cpk,ck->cp", Ug, A0ib,
+    UtA0ib = jnp.einsum("cpk,ck->cp", sub, A0ib,
                         preferred_element_type=jnp.float32)
     # padded (all-invalid) P positions contribute zero rows to M; the
     # identity diagonal keeps it SPD, and their z entries multiply zero

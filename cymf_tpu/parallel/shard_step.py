@@ -288,30 +288,21 @@ def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
             sub = _resolve_rows(Y_s, flat_all, rpd_y).reshape(Cn, Pp, -1)
             sub = sub * valid_loc[..., None].astype(Y_s.dtype)
             if Pp <= wb_max_p and w > 1.0:
-                # Woodbury form (replicated A0 inverse — deterministic,
-                # every shard computes the same psum'd Gramian)
-                A0i = jnp.linalg.inv(A0)
-                b = w * jnp.sum(sub, axis=1)
-                Tm = jnp.einsum("kl,cpl->cpk", A0i, sub,
-                                preferred_element_type=jnp.float32)
-                M = (jnp.eye(Pp, dtype=jnp.float32) / (w - 1.0)
-                     + jnp.einsum("cpk,cqk->cpq", sub, Tm,
-                                  preferred_element_type=jnp.float32))
-                A0ib = jnp.einsum("kl,cl->ck", A0i, b,
-                                  preferred_element_type=jnp.float32)
-                Ub = jnp.einsum("cpk,ck->cp", sub, A0ib,
-                                preferred_element_type=jnp.float32)
-                z = _SOLVERS[solver](M, Ub)
-                x = A0ib - jnp.einsum("cpk,cp->ck", Tm, z,
-                                      preferred_element_type=jnp.float32)
+                # Woodbury form (ops/als.py::woodbury_core) on the
+                # collectively resolved rows; the replicated A0 inverse
+                # is deterministic (same psum'd Gramian on every shard)
+                # and trivial next to the chunk work (one K^3 per chunk)
+                from ..ops.als import woodbury_core
+                x = woodbury_core(sub, jnp.linalg.inv(A0), valid_loc,
+                                  w, solver)
             else:
                 A = A0[None] + (w - 1.0) * jnp.einsum(
                     "cpk,cpl->ckl", sub, sub,
                     preferred_element_type=jnp.float32)
                 b = w * jnp.sum(sub, axis=1)
                 x = _SOLVERS[solver](A, b)
-            nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
-            x = jnp.where(nonempty, x, 0.0)
+                nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
+                x = jnp.where(nonempty, x, 0.0)
             x_all = jax.lax.all_gather(x, ROW_AXIS, tiled=True)  # (C, K)
             T_s = T_s.at[_owned_rows(rows_rep, rpd_t)].set(
                 x_all, mode="drop", unique_indices=True)

@@ -43,12 +43,13 @@ hs = jax.tree_util.tree_map(jnp.asarray, build_pair_hashset(rows, cols))
 
 rw = pk.packed_rows(U, K, multiple=WR)
 rh = pk.logical_rows(I, multiple=WR)
-invp = jnp.asarray(
-    rng.uniform(1.0, 10.0, (rh, 1)).astype(np.float32))
 Wp = jnp.asarray(pk.pack_array(
     (rng.normal(size=(U, K)) * 0.01).astype(np.float32), K, multiple=WR))
 Hp = jnp.asarray(pk.pack_logical(
     (rng.normal(size=(I, K)) * 0.01).astype(np.float32), K, multiple=WR))
+# round-5 invp-on-lane contract: 1/max(p,M) rides lane K of Hp
+Hp = Hp.at[:, K].set(jnp.asarray(
+    rng.uniform(1.0, 10.0, rh).astype(np.float32)))
 opt = make_packed_optimizer("adam", 0.01)
 ow, oh = opt.init(Wp), opt.init(Hp)
 key = jax.random.PRNGKey(0)
@@ -63,7 +64,7 @@ def run_chunks(Wp, Hp, ow, oh, steps):
     for off in range(0, steps, CHUNK):
         sc = min(CHUNK, steps - off)
         Wp, Hp, ow, oh, l = packed_relmf_epoch_device(
-            Wp, Hp, ow, oh, hs, invp, key, jnp.asarray(off, jnp.int32),
+            Wp, Hp, ow, oh, hs, key, jnp.asarray(off, jnp.int32),
             n_valid, S=sc, B=B, num_users=U, num_items=I,
             opt_name="adam", lr=0.01, weight_decay=0.01, K=K, rw=rw,
             rh=rh, wrows_w=WR, wrows_h=WR, interpret=False)

@@ -142,3 +142,19 @@ def test_woodbury_invalid_mode(monkeypatch):
     with use_mesh(MeshContext.create(jax.devices()[:1])):
         with pytest.raises(ValueError, match="WOODBURY"):
             WMF(num_components=8).fit(X, num_epochs=1, verbose=False)
+
+
+def test_woodbury_auto_guard_low_weight_decay():
+    """auto routing requires weight_decay >= 1e-3 (the explicit f32
+    A0 inverse degrades with cond(A0) ~ ||YtY||/wd)."""
+    X = sparse.random(60, 40, density=0.1, random_state=0, format="csr",
+                      data_rvs=lambda n: np.ones(n))
+    m = WMF(num_components=8, weight_decay=1e-4)
+    m.fit(X, num_epochs=1, verbose=False)
+    assert m.woodbury_max_p_ == 0
+    m2 = WMF(num_components=8, weight_decay=0.01)
+    m2.fit(X, num_epochs=1, verbose=False)
+    assert m2.woodbury_max_p_ == 8
+    m3 = WMF(num_components=8, weight=1.0)  # Woodbury needs weight > 1
+    m3.fit(X, num_epochs=1, verbose=False)
+    assert m3.woodbury_max_p_ == 0
