@@ -51,3 +51,34 @@ def test_chunks_single_row():
     X = sparse.csr_matrix(np.ones((1, 5)))
     chunks = build_chunks(X, chunk_size=8, drop_sentinel=3)
     _cover_check(X, chunks, 3)
+
+
+def test_woodbury_solve_higher_k_correlated():
+    """Woodbury == standard at K=64 with CORRELATED factor columns (the
+    ill-conditioning case the auto guard protects; at the guard's
+    wd >= 1e-3 the explicit-inverse route must stay within f32 parity)."""
+    import jax.numpy as jnp
+
+    from cymf_tpu.ops.als import (build_chunks, wmf_chunk_solve,
+                                  wmf_chunk_solve_woodbury)
+
+    rng = np.random.default_rng(1)
+    U, I, K = 300, 220, 64
+    X = sparse.random(U, I, density=0.04, random_state=1, format="csr",
+                      data_rvs=lambda n: np.ones(n))
+    # correlated columns: low-rank base + small noise -> large cond(YtY)
+    base = rng.normal(size=(I, 6)).astype(np.float32)
+    mixer = rng.normal(size=(6, K)).astype(np.float32)
+    Y = jnp.asarray(base @ mixer * 0.1
+                    + 0.01 * rng.normal(size=(I, K)).astype(np.float32))
+    A0 = Y.T @ Y + 1e-3 * jnp.eye(K, dtype=jnp.float32)
+    A0i = jnp.linalg.inv(A0)
+    w = jnp.float32(10.0)
+    for ch in build_chunks(X, 128, U, num_components=K):
+        xs = wmf_chunk_solve(Y, A0, jnp.asarray(ch.idx_pad),
+                             jnp.asarray(ch.valid), w, solver="cholesky")
+        xw = wmf_chunk_solve_woodbury(Y, A0i, jnp.asarray(ch.idx_pad),
+                                      jnp.asarray(ch.valid), w)
+        scale = float(jnp.max(jnp.abs(xs))) + 1e-9
+        err = float(jnp.max(jnp.abs(xs - xw))) / scale
+        assert err < 5e-3, (ch.idx_pad.shape, err)
