@@ -643,6 +643,70 @@ class BPR(MFTrainerBase, PersistenceMixin):
             rjs_d = jnp.asarray(
                 r2_fit.reshape(u2.shape[0], u2.shape[1] // 128, 128))
 
+        # CYMF_TPU_BPR_PREP=device (round 5, opt-in): draw/reject/sort
+        # the negative side INSIDE the jitted scan — zero per-epoch host
+        # work/uploads, at a measured ~1.6-2 ms/step in-scan prep cost
+        # (ops/packed_epoch.py::packed_bpr_epoch_device_j).  Default
+        # stays host prep: real local hosts overlap it for free and the
+        # kernel-rate protocol is unchanged.
+        import os
+        prep_env = os.environ.get("CYMF_TPU_BPR_PREP", "host")
+        if prep_env not in ("host", "device"):
+            raise ValueError("CYMF_TPU_BPR_PREP must be host|device")
+        device_prep = prep_env == "device" and kernel_v != 8
+        if device_prep:
+            # the device-j epoch runs the span-unconditional v4 pipeline
+            # (v5/v6 fusions need host-computed expansion starts)
+            kernel_v = 4
+            self.packed_kernel_ = 4
+            from ..ops.hashset import build_pair_hashset
+            from ..ops.packed_epoch import packed_bpr_epoch_device_j
+            hs_dev = jax.tree_util.tree_map(
+                jnp.asarray, build_pair_hashset(coo.row, coo.col))
+            base_key = jax.random.PRNGKey(seed)
+            self.prep_backend_ = "device-threefry"
+            S_all = u2.shape[0]
+            chunk = 2048
+            spans = [(off, min(chunk, S_all - off))
+                     for off in range(0, S_all, chunk)]
+
+            def epoch_fn(epoch):
+                nonlocal Wp, Hp, ow, oh
+                key = jax.random.fold_in(base_key, epoch)
+                loss = None
+                for off, sc in spans:
+                    Wp, Hp, ow, oh, l = packed_bpr_epoch_device_j(
+                        Wp, Hp, ow, oh, u2d[off:off + sc],
+                        i2d[off:off + sc], si_d[off:off + sc],
+                        rowsi_d[off:off + sc], wini_d[off:off + sc],
+                        winw_d[off:off + sc], hs_dev, key,
+                        jnp.asarray(off, jnp.int32), n_valid,
+                        opt_name=self.optimizer, lr=self.learning_rate,
+                        weight_decay=self.weight_decay, K=K, rw=rw,
+                        rh=rh, num_users=U, num_items=I,
+                        wrows_w=wrows_w, wrows_h=wrows_h,
+                        interpret=interpret)
+                    loss = l if loss is None else loss + l
+                self._last_loss_dev = loss
+                publish()
+
+            def snapshot_fn():
+                return (self.W, self.H)
+
+            def restore_fn(snap):
+                self.W, self.H = np.array(snap[0]), np.array(snap[1])
+
+            self._run_epochs(num_epochs, epoch_fn, snapshot_fn,
+                             restore_fn, verbose,
+                             checkpoint_path=checkpoint_path,
+                             checkpoint_every=checkpoint_every,
+                             start_epoch=start_epoch)
+            if self._last_loss_dev is not None:
+                self.last_loss = float(jax.device_get(
+                    self._last_loss_dev))
+            self._finalize_fit()
+            return
+
         def epoch_fn(epoch):
             nonlocal Wp, Hp, ow, oh
             if kernel_v == 8:

@@ -277,6 +277,95 @@ def packed_bpr_epoch(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
 
 @functools.partial(
     jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
+                              "rh", "num_users", "num_items", "wrows_w",
+                              "wrows_h", "interpret", "precision"),
+    donate_argnums=(0, 1, 2, 3))
+def packed_bpr_epoch_device_j(Wp, Hp, ow, oh, u_steps, i_steps, si_steps,
+                              rowsi_steps, wini, winw, hs, key, t0,
+                              n_valid, *, opt_name, lr, weight_decay, K,
+                              rw, rh, num_users, num_items, wrows_w=256,
+                              wrows_h=256, interpret=False,
+                              precision="split"):
+    """The v4 packed BPR epoch with ON-DEVICE negative prep (round 5 —
+    the BPR analogue of `ops.relmf_epoch.packed_relmf_epoch_device`):
+    each scan step draws its negatives with counter-based threefry,
+    rejects against the replicated pair hash-set in-jit (the
+    fixed-shape skip of `/root/reference/cymf/bpr.pyx:166-167`), and
+    builds the j-side sort/windows with `lax.sort_key_val` + the in-jit
+    window builder.  The u/i streams and their sort sides stay static
+    per fit (batch composition is fixed across epochs, `bpr.pyx:104`) —
+    so a FIT performs zero per-epoch host work and zero per-epoch
+    uploads.
+
+    Trade (measured, docs/measurements/r5/prep_ablate.log at ML-20M
+    shapes): the in-step draw+reject+sort+windows add ~1.6-2 ms/step on
+    top of the 3.29 ms v4 kernel step — fit()-level throughput becomes
+    the real device rate instead of being bounded by host-stream
+    uploads (CYMF_TPU_BPR_PREP=device opts in; the headline epoch-rate
+    protocol keeps host prep, which real local hosts overlap for free).
+
+    ``t0``/``key`` as in ``packed_relmf_epoch_device`` (chunk-safe).
+    """
+    from .hashset import hashset_contains
+    from .relmf_epoch import window_ranges_device
+
+    opt = make_packed_optimizer(opt_name, lr)
+    wd = jnp.float32(weight_decay)
+    s = pk.num_slots(K)
+    cb = pk.count_base(K)
+    payb = jnp.arange(pk.LANES) < K
+    payf = payb.astype(jnp.float32)
+
+    def step(carry, xs):
+        Wp, Hp, ow, oh, loss_acc = carry
+        u, i, si, rowsi, wi, ww, t = xs
+        B = u.shape[0]
+        kt = jax.random.fold_in(key, t)
+        j = jax.random.randint(kt, (B,), 0, num_items, dtype=jnp.int32)
+        mask = (u < num_users) & ~hashset_contains(hs, u, j)
+        mf = mask.astype(jnp.float32)
+        js, sj = jax.lax.sort_key_val(j, jnp.arange(B, dtype=jnp.int32))
+        rowsj = js.reshape(B // 128, 128)
+        wjs, wjc = window_ranges_device(js, rh, wrows_h)
+
+        phys_u, slot_u = u // s, u % s
+        Du = decorate(Wp.at[jnp.minimum(phys_u, rw - 1)].get(
+            indices_are_sorted=True, mode="promise_in_bounds"),
+            slot_u, mf, K)
+        SW, Q, lossp = bpr_sample_phase(Du, Hp[i], Hp[j], K=K,
+                                        wd=weight_decay,
+                                        interpret=interpret)
+        loss_step = lossp[0, 0]
+        Aw = sorted_accum(_fold_rows(phys_u), SW, ww[0], ww[1], r_pad=rw,
+                          wrows=wrows_w, tile=TILE, interpret=interpret,
+                          precision=precision)
+        gw, nw = pk.split_counts(Aw, K)
+        nwE = pk.expand_counts(nw, K)
+        gbw = _pad_lanes(-gw + wd * nwE * Wp[:, :cb])
+        mw = _pad_lanes(nwE > 0)
+        Wp, ow = opt.update(Wp, ow, gbw, mw, K)
+
+        D = sorted_accum_dual(
+            rowsi, Q[si], wi[0], wi[1], rowsj, Q[sj], wjs, wjc,
+            r_pad=rh, neg_lanes=K, wrows=wrows_h, tile=TILE,
+            interpret=interpret, precision=precision)
+        nh = D[:, K:K + 1]
+        gbh = (D + wd * nh * Hp) * payf
+        mh = (nh > 0) & payb
+        Hp, oh = opt.update(Hp, oh, gbh, mh, K)
+        return (Wp, Hp, ow, oh, loss_acc + loss_step), None
+
+    S = u_steps.shape[0]
+    init = (Wp, Hp, ow, oh, jnp.zeros((), jnp.float32))
+    (Wp, Hp, ow, oh, loss), _ = jax.lax.scan(
+        step, init, (u_steps, i_steps, si_steps, rowsi_steps, wini,
+                     winw, t0 + jnp.arange(S)))
+    return Wp, Hp, ow, oh, loss / jnp.maximum(n_valid, 1).astype(
+        jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("opt_name", "lr", "weight_decay", "K", "rw",
                               "rh", "wrows_w", "wrows_h", "interpret",
                               "precision"),
     donate_argnums=(0, 1, 2, 3))

@@ -79,3 +79,42 @@ def test_bpr_invalid_input():
         BPR().fit(None)
     with pytest.raises(ValueError):
         BPR().fit("not a matrix")
+
+
+def test_bpr_device_prep_quality_and_resume(monkeypatch):
+    """CYMF_TPU_BPR_PREP=device (round 5): the packed engine draws,
+    rejects and sorts negatives INSIDE the jitted scan — quality matches
+    the host-prep engine (different, equally uniform stream) and
+    checkpoints resume deterministically."""
+    import jax
+
+    import cymf_tpu
+    from cymf_tpu.dataset import SyntheticImplicitDataset
+    from cymf_tpu.parallel import MeshContext, use_mesh
+
+    d = SyntheticImplicitDataset(num_user=300, num_item=200, rank=5,
+                                 density=0.08, seed=11)
+    ev = cymf_tpu.AoaEvaluator(d.test, d.train, metrics=["DCG"], k=5)
+    kw = dict(num_components=10, learning_rate=0.02, batch_size=2048,
+              packed="on")
+    with use_mesh(MeshContext.create(jax.devices()[:1])):
+        m_host = cymf_tpu.BPR(**kw)
+        m_host.fit(d.train, num_epochs=8, verbose=False, seed=3)
+        dcg_host = ev.evaluate(m_host.W, m_host.H)["DCG@5"]
+
+        monkeypatch.setenv("CYMF_TPU_BPR_PREP", "device")
+        m_dev = cymf_tpu.BPR(**kw)
+        m_dev.fit(d.train, num_epochs=8, verbose=False, seed=3)
+        assert m_dev.prep_backend_ == "device-threefry"
+        dcg_dev = ev.evaluate(m_dev.W, m_dev.H)["DCG@5"]
+        assert dcg_dev > 0.8 * dcg_host, (dcg_dev, dcg_host)
+
+        # determinism: same seed -> identical tables
+        m_dev2 = cymf_tpu.BPR(**kw)
+        m_dev2.fit(d.train, num_epochs=8, verbose=False, seed=3)
+        np.testing.assert_array_equal(m_dev.W, m_dev2.W)
+
+        # invalid knob raises
+        monkeypatch.setenv("CYMF_TPU_BPR_PREP", "sometimes")
+        with pytest.raises(ValueError, match="BPR_PREP"):
+            cymf_tpu.BPR(**kw).fit(d.train, num_epochs=1, verbose=False)
