@@ -667,19 +667,21 @@ class BPR(MFTrainerBase, PersistenceMixin):
             self.prep_backend_ = "device-threefry"
             S_all = u2.shape[0]
             chunk = 2048
-            spans = [(off, min(chunk, S_all - off))
+            # slice the static streams once (not per epoch)
+            spans = [(off, min(chunk, S_all - off),
+                      tuple(a[off:off + min(chunk, S_all - off)]
+                            for a in (u2d, i2d, si_d, rowsi_d, wini_d,
+                                      winw_d)))
                      for off in range(0, S_all, chunk)]
 
             def epoch_fn(epoch):
                 nonlocal Wp, Hp, ow, oh
                 key = jax.random.fold_in(base_key, epoch)
                 loss = None
-                for off, sc in spans:
+                for off, sc, (us, is_, sis, rws, wis, wws) in spans:
                     Wp, Hp, ow, oh, l = packed_bpr_epoch_device_j(
-                        Wp, Hp, ow, oh, u2d[off:off + sc],
-                        i2d[off:off + sc], si_d[off:off + sc],
-                        rowsi_d[off:off + sc], wini_d[off:off + sc],
-                        winw_d[off:off + sc], hs_dev, key,
+                        Wp, Hp, ow, oh, us, is_, sis, rws, wis, wws,
+                        hs_dev, key,
                         jnp.asarray(off, jnp.int32), n_valid,
                         opt_name=self.optimizer, lr=self.learning_rate,
                         weight_decay=self.weight_decay, K=K, rw=rw,
