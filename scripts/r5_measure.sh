@@ -35,3 +35,11 @@ BENCH_MODEL=relmf_ml20m BENCH_SMALL=1 timeout 1800 python bench.py \
 BENCH_MODEL=evaluator timeout 1200 python bench.py \
   > docs/measurements/r5/bench_eval.log 2>&1
 echo DONE
+
+# 7. device-prep BPR fit-level rate (opt-in engine)
+timeout 1800 python scripts/r5_bpr_device_measure.py \
+  > docs/measurements/r5/bpr_device_ml20m.log 2>&1
+
+# 8. kernel VPU-mix variant experiment
+timeout 1800 python scripts/r5_kernel_variant.py 96 \
+  > docs/measurements/r5/kernel_variant.log 2>&1
