@@ -137,14 +137,17 @@ for side, Xs, nrows in (("users", X, U), ("items", Xt, I)):
         tg = t_of(stage_gather, Y, idx, valid)
         te = t_of(stage_einsum, Y, A0, idx, valid)
         tf = t_of(stage_full, Y, A0, idx, valid)
-        tw = t_of(stage_woodbury, Y, A0i, idx, valid) if P <= 2048 \
+        # probe Woodbury only where production routes it (P <= K) and
+        # the (C, P, P) M buffer stays sane (P=1024 at C=2048 OOM'd hbm)
+        tw = t_of(stage_woodbury, Y, A0i, idx, valid) \
+            if P <= max(K, 256) and C * P * P * 4 < (1 << 31) \
             else float("nan")
         tot_g += tg * cnt
         tot_e += te * cnt
         tot_f += tf * cnt
         tot_w += (tw if tw == tw else tf) * cnt
         flops = 2 * C * P * K * K
-        eff = flops / max(te - tg, 1e-9) / 197e12
+        eff = flops / max(te - tg, 1e-4) / 197e12
         print(f"  (C={C:5d}, P={P:5d}) x{cnt:3d}: gather {tg*1e3:7.2f} "
               f"einsum +{(te-tg)*1e3:7.2f} solve +{(tf-te)*1e3:7.2f} "
               f"full {tf*1e3:8.2f} ms | woodbury {tw*1e3:8.2f} ms | "
