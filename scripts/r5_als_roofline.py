@@ -156,8 +156,11 @@ for side, Xs, nrows in (("users", X, U), ("items", Xt, I)):
           f"{tot_e:.2f}s full {tot_f:.2f}s | woodbury-mix {tot_w:.2f}s",
           flush=True)
 
-# correctness spot check at one small-P shape
-chunks = build_chunks(Xt, CHUNK, I, num_components=K)
+# correctness spot check at one small-P USER-side shape (the item side
+# has no small-P chunks at ML-20M degrees — an unguarded large-P check
+# OOM'd the M buffer)
+chunks = [c for c in build_chunks(X, CHUNK, U, num_components=K)
+          if c.idx_pad.shape[1] <= K]
 ch = min(chunks, key=lambda c: c.idx_pad.shape[1])
 Y = jnp.asarray(rng.normal(size=(I, K)).astype(np.float32) * 0.1)
 A0 = (Y.T @ Y + 0.01 * jnp.eye(K, dtype=jnp.float32))
