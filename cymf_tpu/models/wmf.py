@@ -86,14 +86,16 @@ class WMF(MFTrainerBase, PersistenceMixin):
         wd = self.weight_decay
         weight = jnp.asarray(self.weight, config.param_dtype())
 
-        # Woodbury routing (round 5, verdict #4): small-degree chunks'
-        # correction einsum contracts over P (2-6% MXU depth at P<=16)
-        # and their batched K^3 Cholesky dominates at K>=128; the
-        # Woodbury form contracts over K and solves P x P systems
-        # instead (`ops/als.py::wmf_chunk_solve_woodbury`).  auto:
-        # route P <= K chunks there when weight > 1 AND weight_decay
-        # >= 1e-3 (the explicit f32 A0 inverse loses ~cond*eps digits;
-        # cond(A0) <= ~||YtY||/wd — see the als.py accuracy note).
+        # Woodbury routing (round 5, verdict #4): at K >= 128 the
+        # batched K^3 Cholesky dominates the chunk solve (measured ~180
+        # ms per 2048-row chunk at K=256 — docs/ROOFLINE.md ALS
+        # section) and the Woodbury form replaces it with a P^3 one
+        # (`ops/als.py::wmf_chunk_solve_woodbury`), measured 1.73x on
+        # the ML-20M d=256 epoch.  auto: route P <= K chunks there when
+        # K >= 128 (at K=64 the Cholesky is cheap and Woodbury's extra
+        # matmuls LOSE — bench wmf measured 2.15M vs 3.88M int/s),
+        # weight > 1, and weight_decay >= 1e-3 (the explicit f32 A0
+        # inverse loses ~cond*eps digits; cond(A0) <= ~||YtY||/wd).
         wb_mode = __import__("os").environ.get(
             "CYMF_TPU_ALS_WOODBURY", "auto")
         if wb_mode not in ("auto", "off", "on"):
@@ -101,7 +103,8 @@ class WMF(MFTrainerBase, PersistenceMixin):
         wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
                     else (1 << 30) if wb_mode == "on"
                     else self.num_components
-                    if self.weight_decay >= 1e-3 else 0)
+                    if self.weight_decay >= 1e-3
+                    and self.num_components >= 128 else 0)
         self.woodbury_max_p_ = wb_max_p  # routing diagnostic
 
         if mesh.num_devices > 1:

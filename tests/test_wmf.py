@@ -145,16 +145,20 @@ def test_woodbury_invalid_mode(monkeypatch):
 
 
 def test_woodbury_auto_guard_low_weight_decay():
-    """auto routing requires weight_decay >= 1e-3 (the explicit f32
-    A0 inverse degrades with cond(A0) ~ ||YtY||/wd)."""
+    """auto routing requires K >= 128 (measured: at K=64 the Cholesky
+    is cheap and Woodbury LOSES), weight > 1, and weight_decay >= 1e-3
+    (the explicit f32 A0 inverse degrades with cond(A0) ~ ||YtY||/wd)."""
     X = sparse.random(60, 40, density=0.1, random_state=0, format="csr",
                       data_rvs=lambda n: np.ones(n))
-    m = WMF(num_components=8, weight_decay=1e-4)
+    m = WMF(num_components=128, weight_decay=1e-4)
     m.fit(X, num_epochs=1, verbose=False)
-    assert m.woodbury_max_p_ == 0
-    m2 = WMF(num_components=8, weight_decay=0.01)
+    assert m.woodbury_max_p_ == 0  # low wd: conditioning guard
+    m2 = WMF(num_components=128, weight_decay=0.01)
     m2.fit(X, num_epochs=1, verbose=False)
-    assert m2.woodbury_max_p_ == 8
-    m3 = WMF(num_components=8, weight=1.0)  # Woodbury needs weight > 1
+    assert m2.woodbury_max_p_ == 128
+    m3 = WMF(num_components=128, weight=1.0)  # needs weight > 1
     m3.fit(X, num_epochs=1, verbose=False)
     assert m3.woodbury_max_p_ == 0
+    m4 = WMF(num_components=64)  # K < 128: Cholesky is cheap, no route
+    m4.fit(X, num_epochs=1, verbose=False)
+    assert m4.woodbury_max_p_ == 0
