@@ -11,6 +11,7 @@ call compiles then reps timed.  Usage:
   python scripts/r5_relmf_measure.py [ml1m|ml20m] [steps]
 """
 
+import os
 import sys
 import time
 
@@ -31,7 +32,7 @@ if mode == "ml1m":
 else:
     U, I, NNZ = 138493, 26744, 20_000_263
 K, B = 20, 131072
-WR = 256
+WR = int(os.environ.get("RELMF_WR", "256"))
 S_total = max(1, -(-(U * I) // B))
 S_meas = int(sys.argv[2]) if len(sys.argv) > 2 else min(S_total, 2048)
 CHUNK = 2048
