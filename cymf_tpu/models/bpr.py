@@ -503,6 +503,16 @@ class BPR(MFTrainerBase, PersistenceMixin):
             def repad_h(a):
                 return np.pad(a[:I], ((0, Ip - I), (0, 0)))
 
+            # the WIDE engine's schema (oww/ohw) stores logical rows
+            # with lane-padded columns — rewrite into the XLA-native
+            # prefix before the packed-vs-logical converter runs
+            for pre, n_rows in (("oww", U), ("ohw", I)):
+                for k in [k for k in flat if k.startswith(pre + "/")]:
+                    sub = k.split("/", 1)[1]
+                    dst = ("ow/" if pre == "oww" else "oh/") + sub
+                    if dst not in flat:
+                        flat[dst] = np.asarray(flat[k])[:n_rows, :K]
+
             mrow_w = np.arange(Up)[:, None] < U
             mrow_h = np.arange(Ip)[:, None] < I
             st["ow"] = _restore_opt_state(flat, "ow", "owp", st["ow"],

@@ -272,3 +272,32 @@ def test_shard_slices_warns_on_degenerate_skew():
         warnings.simplefilter("always")
         shard_slices(u_bal.astype(np.int64), K, rw, n, tile=128)
     assert not w
+
+
+def test_bpr_wide_cross_engine_resume(tmp_path):
+    """An XLA-engine checkpoint resumes in the WIDE engine (K >= 128,
+    logical 'ow' leaves -> wide-layout 'oww') and vice versa — the
+    K >= 128 analogue of the packed cross-engine converters."""
+    X = sparse.random(200, 120, density=0.12, random_state=5,
+                      format="csr")
+    X.data[:] = 1.0
+    kw = dict(num_components=128, learning_rate=0.02, batch_size=1024,
+              optimizer="adam")
+    p = str(tmp_path / "cw.npz")
+
+    # XLA checkpoint -> wide resume trains on and stays finite
+    m_x = BPR(packed="off", **kw)
+    m_x.fit(X, num_epochs=2, verbose=False, seed=7, checkpoint_path=p)
+    m_w = BPR(packed="on", **kw)
+    m_w.fit(X, num_epochs=3, verbose=False, seed=7, checkpoint_path=p,
+            resume=True)
+    assert np.isfinite(m_w.W).all() and not np.allclose(m_w.W, m_x.W)
+
+    # wide checkpoint -> XLA resume
+    p2 = str(tmp_path / "cw2.npz")
+    m_w2 = BPR(packed="on", **kw)
+    m_w2.fit(X, num_epochs=2, verbose=False, seed=7, checkpoint_path=p2)
+    m_x2 = BPR(packed="off", **kw)
+    m_x2.fit(X, num_epochs=3, verbose=False, seed=7, checkpoint_path=p2,
+             resume=True)
+    assert np.isfinite(m_x2.W).all() and not np.allclose(m_x2.W, m_w2.W)
