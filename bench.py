@@ -568,6 +568,7 @@ def bench_relmf_ml20m():
         state = [Wp, Hp, opt.init(Wp), opt.init(Hp)]
         n_valid = jnp.asarray(float(full_steps) * B, jnp.float32)
         CH = 2048
+        interp = jax.default_backend() != "tpu"
 
         def run():
             loss = jnp.zeros(())
@@ -579,7 +580,7 @@ def bench_relmf_ml20m():
                     key, jnp.asarray(off, jnp.int32), n_valid, S=sc, B=B,
                     num_users=U, num_items=I, opt_name="adam", lr=0.001,
                     weight_decay=0.01, K=K, rw=rw, rh=rh, wrows_w=WR,
-                    wrows_h=WR, interpret=False)
+                    wrows_h=WR, interpret=interp)
                 loss = loss + l
             return loss
 

@@ -663,7 +663,12 @@ class BPR(MFTrainerBase, PersistenceMixin):
         prep_env = os.environ.get("CYMF_TPU_BPR_PREP", "host")
         if prep_env not in ("host", "device"):
             raise ValueError("CYMF_TPU_BPR_PREP must be host|device")
-        device_prep = prep_env == "device" and kernel_v != 8
+        if prep_env == "device" and kernel_v == 8:
+            raise ValueError(
+                "CYMF_TPU_BPR_PREP=device conflicts with neg_pool (the "
+                "pool engine's shared draws are host-prepared); unset "
+                "one of them")
+        device_prep = prep_env == "device"
         if device_prep:
             # the device-j epoch runs the span-unconditional v4 pipeline
             # (v5/v6 fusions need host-computed expansion starts)
@@ -677,12 +682,18 @@ class BPR(MFTrainerBase, PersistenceMixin):
             self.prep_backend_ = "device-threefry"
             S_all = u2.shape[0]
             chunk = 2048
-            # slice the static streams once (not per epoch)
-            spans = [(off, min(chunk, S_all - off),
-                      tuple(a[off:off + min(chunk, S_all - off)]
-                            for a in (u2d, i2d, si_d, rowsi_d, wini_d,
-                                      winw_d)))
-                     for off in range(0, S_all, chunk)]
+            # static stream slices once per fit; the single-span common
+            # case reuses the uploaded arrays outright (device slices
+            # are copies — at ML-20M shapes slicing everything would
+            # duplicate ~300MB of stream HBM)
+            arrays = (u2d, i2d, si_d, rowsi_d, wini_d, winw_d)
+            if S_all <= chunk:
+                spans = [(0, S_all, arrays)]
+            else:
+                spans = [(off, min(chunk, S_all - off),
+                          tuple(a[off:off + min(chunk, S_all - off)]
+                                for a in arrays))
+                         for off in range(0, S_all, chunk)]
 
             def epoch_fn(epoch):
                 nonlocal Wp, Hp, ow, oh

@@ -304,10 +304,43 @@ class RelMF(MFTrainerBase, PersistenceMixin):
         start_epoch = 0
         if resume and checkpoint_path is not None \
                 and __import__("os").path.exists(checkpoint_path):
-            from ..utils.checkpoint import load_checkpoint
-            self._state, last_epoch, _ = load_checkpoint(
-                checkpoint_path, self._state)
+            from ..ops import packed as pkl
+            from .bpr import (_load_ckpt_raw, _place_like,
+                              _restore_opt_state)
+            # engine-agnostic raw read: a PACKED-engine checkpoint
+            # (owp/ohp leaves — now the single-device default at any
+            # scale, round 5) must resume here too, mirroring BPR's
+            # cross-engine converters
+            flat, last_epoch = _load_ckpt_raw(checkpoint_path)
             start_epoch = last_epoch + 1
+            st = self._state
+            Up, Ip = st["W"].shape[0], st["H"].shape[0]
+            K = self.num_components
+            s = pkl.num_slots(K)
+            st["W"] = self._pad_table(np.asarray(flat["W"])[:U])
+            st["H"] = self._pad_table(np.asarray(flat["H"])[:I])
+
+            def unpack_w(a):  # packed (rw, 128) -> padded logical
+                lg = a[:, :s * K].reshape(-1, K)[:U]
+                return np.pad(lg, ((0, Up - U), (0, 0)))
+
+            def unpack_h(a):  # logical-layout (rh, 128) -> (Ip, K)
+                return np.pad(a[:I, :K], ((0, Ip - I), (0, 0)))
+
+            def repad_w(a):
+                return np.pad(a[:U], ((0, Up - U), (0, 0)))
+
+            def repad_h(a):
+                return np.pad(a[:I], ((0, Ip - I), (0, 0)))
+
+            mrow_w = np.arange(Up)[:, None] < U
+            mrow_h = np.arange(Ip)[:, None] < I
+            st["ow"] = _restore_opt_state(flat, "ow", "owp", st["ow"],
+                                          unpack_w, mrow_w, _place_like,
+                                          repad=repad_w)
+            st["oh"] = _restore_opt_state(flat, "oh", "ohp", st["oh"],
+                                          unpack_h, mrow_h, _place_like,
+                                          repad=repad_h)
         base_key = jax.random.PRNGKey(seed)
         self._last_loss_dev = None
 

@@ -100,6 +100,10 @@ class WMF(MFTrainerBase, PersistenceMixin):
             "CYMF_TPU_ALS_WOODBURY", "auto")
         if wb_mode not in ("auto", "off", "on"):
             raise ValueError("CYMF_TPU_ALS_WOODBURY must be auto|off|on")
+        if wb_mode == "on" and self.weight <= 1.0:
+            raise ValueError(
+                "CYMF_TPU_ALS_WOODBURY=on requires weight > 1 (the "
+                "Woodbury capacitance divides by weight - 1)")
         wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
                     else (1 << 30) if wb_mode == "on"
                     else self.num_components

@@ -356,3 +356,128 @@ class TestPackedRelMF:
             monkeypatch.setenv("CYMF_TPU_RELMF_PREP", "host")
             with pytest.raises(ValueError, match="MAX_CELLS"):
                 m._packed_engine(True, huge)
+
+    def test_packed_checkpoint_resumes_on_xla_engine(self, tmp_path):
+        """A PACKED-engine checkpoint (owp/ohp schema — the
+        single-device default since round 5) resumes on the XLA engine,
+        including on a multi-device mesh (round-5 review finding: this
+        transition raised KeyError before)."""
+        import jax
+
+        import cymf_tpu
+        from cymf_tpu.dataset import SyntheticImplicitDataset
+        from cymf_tpu.parallel import MeshContext, use_mesh
+
+        d = SyntheticImplicitDataset(num_user=120, num_item=80, rank=4,
+                                     density=0.1, seed=5)
+        p = str(tmp_path / "px.npz")
+        kw = dict(num_components=8, learning_rate=0.02, batch_size=1024)
+        with use_mesh(MeshContext.create(jax.devices()[:1])):
+            mp_ = cymf_tpu.RelMF(packed="on", **kw)
+            mp_.fit(d.train, num_epochs=2, verbose=False, seed=7,
+                    checkpoint_path=p)
+            W2 = mp_.W.copy()
+        # zero-extra-epoch resume reproduces the checkpointed tables
+        # (no checkpoint_path: writing would clobber p for the next leg)
+        my = cymf_tpu.RelMF(packed="off", **kw)
+        my.fit(d.train, num_epochs=2, verbose=False, seed=7,
+               checkpoint_path=p, resume=True)
+        np.testing.assert_allclose(my.W, W2, rtol=1e-5, atol=1e-6)
+
+        # resume with packed='off' on the full (8-device) mesh trains on
+        mx = cymf_tpu.RelMF(packed="off", **kw)
+        mx.fit(d.train, num_epochs=4, verbose=False, seed=7,
+               checkpoint_path=str(tmp_path / "px2.npz"), resume=False)
+        import shutil
+        shutil.copy(p, str(tmp_path / "px3.npz"))
+        mz = cymf_tpu.RelMF(packed="off", **kw)
+        mz.fit(d.train, num_epochs=4, verbose=False, seed=7,
+               checkpoint_path=str(tmp_path / "px3.npz"), resume=True)
+        assert np.isfinite(mz.W).all() and np.isfinite(mz.H).all()
+        assert not np.allclose(mz.W, W2)  # epochs 2-3 trained
+
+    def test_device_epoch_matches_host_epoch_on_same_streams(self):
+        """packed_relmf_epoch_device == packed_relmf_epoch when the host
+        engine is fed the device engine's exact draw stream (replicated
+        via the same threefry fold chain) — pins the two step bodies to
+        each other (round-5 review: the bodies are twins, a fix to one
+        must not silently miss the other)."""
+        import jax
+        import jax.numpy as jnp
+
+        from cymf_tpu.ops import packed as pk
+        from cymf_tpu.ops.hashset import build_pair_hashset, \
+            hashset_contains
+        from cymf_tpu.ops.packed_epoch import (_sorted_side,
+                                               make_packed_optimizer,
+                                               unpack_device,
+                                               window_ranges)
+        from cymf_tpu.ops.relmf_epoch import (packed_relmf_epoch,
+                                              packed_relmf_epoch_device)
+
+        rng = np.random.default_rng(3)
+        U, I, K, B, S = 210, 140, 12, 1024, 3
+        wrows = 16
+        pos = rng.random((U, I)) < 0.08
+        pu, pi = np.nonzero(pos)
+        hs = jax.tree_util.tree_map(jnp.asarray,
+                                    build_pair_hashset(pu, pi))
+        invp_col = rng.uniform(1.0, 5.0, I).astype(np.float32)
+        rw = pk.packed_rows(U, K, multiple=wrows)
+        rh = pk.logical_rows(I, multiple=wrows)
+        W0 = (rng.normal(size=(U, K)) * 0.1).astype(np.float32)
+        H0 = (rng.normal(size=(I, K)) * 0.1).astype(np.float32)
+        Wp = jnp.asarray(pk.pack_array(W0, K, multiple=wrows))
+        Hp0 = jnp.asarray(pk.pack_logical(H0, K, multiple=wrows))
+        invp_pad = np.zeros(rh, np.float32)
+        invp_pad[:I] = invp_col
+        Hp_dev = Hp0.at[:, K].set(jnp.asarray(invp_pad))
+        opt = make_packed_optimizer("adam", 0.02)
+        key = jax.random.PRNGKey(11)
+        nv = jnp.asarray(float(S * B), jnp.float32)
+
+        # both epoch fns donate their table args -> pass fresh copies
+        Wd, Hd, _, _, ld = packed_relmf_epoch_device(
+            jnp.array(Wp), jnp.array(Hp_dev), opt.init(Wp),
+            opt.init(Hp_dev), hs, key,
+            jnp.asarray(0, jnp.int32), nv, S=S, B=B, num_users=U,
+            num_items=I, opt_name="adam", lr=0.02, weight_decay=0.01,
+            K=K, rw=rw, rh=rh, wrows_w=wrows, wrows_h=wrows,
+            interpret=True)
+
+        # replicate the device draw chain on the host
+        u2 = np.empty((S, B), np.int32)
+        i2 = np.empty((S, B), np.int32)
+        lab = np.empty((S, B), np.uint8)
+        for t in range(S):
+            kt = jax.random.fold_in(key, t)
+            u = np.asarray(jax.random.randint(
+                jax.random.fold_in(kt, 0), (B,), 0, U, dtype=jnp.int32))
+            i = np.asarray(jax.random.randint(
+                jax.random.fold_in(kt, 1), (B,), 0, I, dtype=jnp.int32))
+            lb = np.asarray(hashset_contains(hs, jnp.asarray(u),
+                                             jnp.asarray(i)))
+            order = np.argsort(u, kind="stable")
+            u2[t], i2[t], lab[t] = u[order], i[order], lb[order]
+        winw = np.empty((S, 2, rw // wrows), np.int32)
+        for t in range(S):
+            winw[t, 0], winw[t, 1] = window_ranges(
+                u2[t].astype(np.int64) // pk.num_slots(K), rw, wrows,
+                1024, align=128)
+        si, rowsi, wini = _sorted_side(i2, rh, wrows, 1024)
+        invp2 = np.zeros((rh, 1), np.float32)
+        invp2[:I, 0] = invp_col
+        Wh, Hh, _, _, lh = packed_relmf_epoch(
+            jnp.array(Wp), jnp.array(Hp0), opt.init(Wp), opt.init(Hp0),
+            *(jnp.asarray(a) for a in (u2, i2, lab, si, rowsi, wini,
+                                       winw, invp2)), nv,
+            opt_name="adam", lr=0.02, weight_decay=0.01, K=K, rw=rw,
+            rh=rh, wrows_w=wrows, wrows_h=wrows, interpret=True)
+
+        np.testing.assert_allclose(float(ld), float(lh), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(unpack_device(Wd, K))[:U],
+            np.asarray(unpack_device(Wh, K))[:U], rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(Hd[:I, :K]),
+                                   np.asarray(Hh[:I, :K]),
+                                   rtol=2e-5, atol=2e-6)
