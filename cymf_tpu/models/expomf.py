@@ -39,10 +39,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from ..ops.als import AlsChunk, build_chunks, solve_spd, solve_lu
+from ..ops.als import (AlsChunk, _SOLVERS, build_chunks,  # noqa: F401
+                       solve_lu, solve_spd)
 from .base import MFTrainerBase, PersistenceMixin, as_csr
-
-_SOLVERS = {"cholesky": solve_spd, "lu": solve_lu}
 
 
 @functools.partial(jax.jit, static_argnames=("solver", "num_real_rows"))
@@ -167,6 +166,10 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
             mu = self._state["mu"]
 
         a1 = a2 = 1.0  # Beta(1, 1) prior (expomf.pyx:113-114,142)
+        # Cholesky routing (round 5): resolve CYMF_TPU_ALS_CHOL once so
+        # the explicit form is a static jit key (ops/als.py)
+        from ..ops.als import resolve_chol_solver
+        solver_r = resolve_chol_solver(self.solver, self.num_components)
 
         if mesh.num_devices > 1:
             # explicit shard_map chunks: row-sharded tables, E blocks
@@ -178,7 +181,7 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
             def _sharded_fn(mu_axis, n_rows, n_cols):
                 return sharded_expomf_chunk(
                     mesh, self.lam_y, self.weight_decay, self.prefactor,
-                    self.num_components, self.solver, mu_axis, n_rows,
+                    self.num_components, solver_r, mu_axis, n_rows,
                     n_cols)
 
             def epoch_fn(epoch):
@@ -225,7 +228,7 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
                     x, cs = _expomf_chunk(
                         W0, H0I, H0I, mu_term_items, ch.rows,
                         ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
-                        solver=self.solver, num_real_rows=U)
+                        solver=solver_r, num_real_rows=U)
                     W_new = W_new.at[ch.rows].set(x, mode="drop",
                                                   unique_indices=True)
                     colsum = colsum + cs
@@ -243,7 +246,7 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
                     x, _ = _expomf_chunk(
                         H0, W0U, W_newU, mu_rows[:, None], ch.rows,
                         ch.idx_pad, ch.valid, lam_y, ridge, prefactor,
-                        solver=self.solver, num_real_rows=I)
+                        solver=solver_r, num_real_rows=I)
                     H_new = H_new.at[ch.rows].set(x, mode="drop",
                                                   unique_indices=True)
                 st["H"] = H_new

@@ -104,6 +104,11 @@ class WMF(MFTrainerBase, PersistenceMixin):
             raise ValueError(
                 "CYMF_TPU_ALS_WOODBURY=on requires weight > 1 (the "
                 "Woodbury capacitance divides by weight - 1)")
+        # Cholesky routing (round 5): resolve the CYMF_TPU_ALS_CHOL knob
+        # ONCE here so the explicit solver name is a jit cache key
+        # (`ops/als.py::resolve_chol_solver`)
+        from ..ops.als import resolve_chol_solver
+        solver_r = resolve_chol_solver(self.solver, self.num_components)
         wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
                     else (1 << 30) if wb_mode == "on"
                     else self.num_components
@@ -123,7 +128,7 @@ class WMF(MFTrainerBase, PersistenceMixin):
             def _chunk_fn():
                 return sharded_wmf_chunk(mesh, self.weight,
                                          self.weight_decay,
-                                         self.num_components, self.solver,
+                                         self.num_components, solver_r,
                                          wb_max_p)
 
             def half_sweep(target_key: str, source_key: str,
@@ -151,11 +156,11 @@ class WMF(MFTrainerBase, PersistenceMixin):
                     if ch.idx_pad.shape[1] <= wb_max_p:
                         rows = wmf_chunk_solve_woodbury(
                             Y, A0i, ch.idx_pad, ch.valid, weight,
-                            solver=self.solver)
+                            solver=solver_r)
                     else:
                         rows = wmf_chunk_solve(Y, A0, ch.idx_pad,
                                                ch.valid, weight,
-                                               solver=self.solver)
+                                               solver=solver_r)
                     T = T.at[ch.rows].set(rows, mode="drop",
                                           unique_indices=True)
                 self._state[target_key] = T

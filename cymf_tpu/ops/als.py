@@ -29,8 +29,8 @@ import numpy as np
 from scipy import sparse
 
 
-def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched SPD solve via Cholesky: A [..., K, K], b [..., K]."""
+def solve_spd_xla(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve via the XLA Cholesky: A [..., K, K], b [..., K]."""
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
     x = jax.scipy.linalg.solve_triangular(
@@ -38,12 +38,143 @@ def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+def solve_spd_blocked(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve via the JAX-level blocked Cholesky (round 5 —
+    the last ALS d>=256 wall, docs/ROOFLINE.md).
+
+    XLA's TPU Cholesky expander factorizes 128-wide panels with a
+    sequential rank-1 loop that re-streams the whole (C, 128, 128)
+    panel buffer every iteration — measured ~180 ms for a
+    (2048, 256, 256) batch, ~400x the MXU FLOP time.  This form runs a
+    blocked left-looking factorization instead: tiny diagonal-block
+    Cholesky calls + MXU matmul trailing updates + explicit
+    diagonal-block inverses so the substitution phase is matmuls too
+    (no TriangularSolve expander anywhere at K x K).  Identical
+    solution up to f32 round-off.  Falls back to the XLA form when the
+    matrix is not divisible by / larger than the block
+    (``CYMF_TPU_ALS_CHOL_BLOCK``, default 64) — e.g. the tiny P x P
+    Woodbury capacitance solves.
+    """
+    import os
+    K = A.shape[-1]
+    block = int(os.environ.get("CYMF_TPU_ALS_CHOL_BLOCK", "64"))
+    if K > block and K % block == 0:
+        return _solve_spd_blocked(A, b, block)
+    return solve_spd_xla(A, b)
+
+
+def resolve_chol_solver(solver: str, num_components: int) -> str:
+    """Resolve the user-facing ``"cholesky"`` solver name to an explicit
+    ``cholesky_xla`` / ``cholesky_blocked`` form per the
+    ``CYMF_TPU_ALS_CHOL`` knob (auto|xla|blocked; auto = blocked at
+    K >= 128, where the XLA expander's panel loop dominates the chunk
+    solve — docs/ROOFLINE.md ALS section).
+
+    Models call this ONCE per fit so the choice lands in every jit
+    cache key (the solver string is a static argument everywhere);
+    reading the env inside a traced function would not retrace on a
+    knob change.
+    """
+    if solver != "cholesky":
+        return solver
+    import os
+    mode = os.environ.get("CYMF_TPU_ALS_CHOL", "auto")
+    if mode not in ("auto", "xla", "blocked"):
+        raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked")
+    if mode == "blocked" or (mode == "auto" and num_components >= 128):
+        return "cholesky_blocked"
+    return "cholesky_xla"
+
+
+def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve: auto-routed between the XLA and blocked
+    Cholesky forms by matrix size (see :func:`resolve_chol_solver`;
+    direct eager callers get the env read per call — jitted model code
+    resolves the name up front instead)."""
+    import os
+    mode = os.environ.get("CYMF_TPU_ALS_CHOL", "auto")
+    if mode not in ("auto", "xla", "blocked"):
+        raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked")
+    if mode == "blocked" or (mode == "auto" and A.shape[-1] >= 128):
+        return solve_spd_blocked(A, b)
+    return solve_spd_xla(A, b)
+
+
+def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
+    """Batched blocked left-looking Cholesky solve (see :func:`solve_spd`).
+
+    The matrix is partitioned into ``nb = K/block`` block rows.  Per
+    block column j: the diagonal block (minus its left updates, MXU
+    einsums over the batch) is factorized by the XLA Cholesky at
+    ``block x block`` — the expander's sequential loop now streams a
+    (C, block, block) buffer instead of (C, 128, 128) per step and runs
+    ``block`` steps per panel — and its inverse is taken once
+    (``block x block`` TriangularSolve) so panel formation and both
+    substitution sweeps become batched matmuls.  All Python loops are
+    static (nb is a trace-time constant); everything lands on the MXU.
+    """
+    f32 = jnp.float32
+    K = A.shape[-1]
+    nb = K // block
+    lead = A.shape[:-2]
+    C = 1
+    for d in lead:
+        C *= int(d)
+    A2 = A.reshape((C, K, K))
+    b2 = b.reshape((C, K))
+
+    def dblk(M, i, j):
+        return M[:, i * block:(i + 1) * block, j * block:(j + 1) * block]
+
+    eye = jnp.eye(block, dtype=A2.dtype)
+    L = [[None] * nb for _ in range(nb)]
+    Dinv = [None] * nb
+    for j in range(nb):
+        Ajj = dblk(A2, j, j)
+        for k in range(j):
+            Ajj = Ajj - jnp.einsum("cab,cdb->cad", L[j][k], L[j][k],
+                                   preferred_element_type=f32)
+        Ljj = jnp.linalg.cholesky(Ajj)
+        L[j][j] = Ljj
+        Dinv[j] = jax.scipy.linalg.solve_triangular(
+            Ljj, jnp.broadcast_to(eye, Ljj.shape), lower=True)
+        for i in range(j + 1, nb):
+            Aij = dblk(A2, i, j)
+            for k in range(j):
+                Aij = Aij - jnp.einsum("cab,cdb->cad", L[i][k], L[j][k],
+                                       preferred_element_type=f32)
+            # L[i][j] = Aij @ Ljj^{-T}
+            L[i][j] = jnp.einsum("cab,cdb->cad", Aij, Dinv[j],
+                                 preferred_element_type=f32)
+    # forward substitution: y_j = Ljj^{-1} (b_j - sum_{k<j} L[j][k] y_k)
+    y = [None] * nb
+    for j in range(nb):
+        r = b2[:, j * block:(j + 1) * block]
+        for k in range(j):
+            r = r - jnp.einsum("cab,cb->ca", L[j][k], y[k],
+                               preferred_element_type=f32)
+        y[j] = jnp.einsum("cab,cb->ca", Dinv[j], r,
+                          preferred_element_type=f32)
+    # backward substitution: x_j = Ljj^{-T} (y_j - sum_{k>j} L[k][j]^T x_k)
+    x = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        r = y[j]
+        for k in range(j + 1, nb):
+            r = r - jnp.einsum("cba,cb->ca", L[k][j], x[k],
+                               preferred_element_type=f32)
+        x[j] = jnp.einsum("cba,cb->ca", Dinv[j], r,
+                          preferred_element_type=f32)
+    out = jnp.concatenate(x, axis=-1)
+    return out.reshape(lead + (K,))
+
+
 def solve_lu(A: jax.Array, b: jax.Array) -> jax.Array:
     """Batched LU solve (the reference's dgesv analogue)."""
     return jnp.linalg.solve(A, b[..., None])[..., 0]
 
 
-_SOLVERS = {"cholesky": solve_spd, "lu": solve_lu}
+_SOLVERS = {"cholesky": solve_spd, "cholesky_xla": solve_spd_xla,
+            "cholesky_blocked": solve_spd_blocked, "lu": solve_lu}
 
 
 class AlsChunk(NamedTuple):

@@ -162,3 +162,67 @@ def test_woodbury_auto_guard_low_weight_decay():
     m4 = WMF(num_components=64)  # K < 128: Cholesky is cheap, no route
     m4.fit(X, num_epochs=1, verbose=False)
     assert m4.woodbury_max_p_ == 0
+
+
+def test_blocked_cholesky_matches_xla(monkeypatch):
+    """The JAX-level blocked Cholesky (round 5 — the batched-K^3 ALS
+    wall, docs/ROOFLINE.md) is bit-comparable to the XLA Cholesky path
+    and engages automatically at K >= 128."""
+    from cymf_tpu.ops.als import _solve_spd_blocked, solve_spd
+
+    rng = np.random.default_rng(5)
+    for C, K in [(6, 256), (4, 128)]:
+        X = rng.standard_normal((C, K, K)).astype(np.float32)
+        A = X @ X.transpose(0, 2, 1) + np.eye(K, dtype=np.float32)
+        b = rng.standard_normal((C, K)).astype(np.float32)
+        ref = np.linalg.solve(A, b[..., None])[..., 0]
+        for blk in (32, 64, 128):
+            if K <= blk or K % blk:
+                continue
+            got = np.array(_solve_spd_blocked(
+                __import__("jax").numpy.asarray(A),
+                __import__("jax").numpy.asarray(b), blk))
+            rel = np.abs(got - ref).max() / np.abs(ref).max()
+            assert rel < 5e-4, (C, K, blk, rel)
+    # auto routing engages the blocked path at K >= 128 and must agree
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "auto")
+    got = np.array(solve_spd(__import__("jax").numpy.asarray(A),
+                             __import__("jax").numpy.asarray(b)))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-4
+    # forced off: xla path still exact
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "xla")
+    got = np.array(solve_spd(__import__("jax").numpy.asarray(A),
+                             __import__("jax").numpy.asarray(b)))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-4
+
+
+def test_blocked_cholesky_invalid_mode(monkeypatch):
+    import jax
+    from cymf_tpu.ops.als import solve_spd
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "fast")
+    A = jax.numpy.eye(128)[None] * 2.0
+    b = jax.numpy.ones((1, 128))
+    with pytest.raises(ValueError, match="ALS_CHOL"):
+        solve_spd(A, b)
+
+
+def test_wmf_fit_blocked_cholesky_matches(monkeypatch, data):
+    """End-to-end WMF fit equality between the XLA and blocked Cholesky
+    paths at K=128 (the auto threshold).  One epoch with a solid
+    weight_decay: K=128 over-parameterizes this 90x70 fixture, so
+    repeated sweeps amplify f32 solver round-off chaotically — the
+    solve-level test above pins exactness; this one guards plumbing."""
+    X = sparse.csr_matrix(data.train)
+
+    def run(mode):
+        monkeypatch.setenv("CYMF_TPU_ALS_CHOL", mode)
+        monkeypatch.setenv("CYMF_TPU_ALS_WOODBURY", "off")
+        np.random.seed(9)
+        m = WMF(num_components=128, chunk_size=64, weight_decay=1.0)
+        m.fit(X, num_epochs=1, verbose=False)
+        return m.W.copy(), m.H.copy()
+
+    W_x, H_x = run("xla")
+    W_b, H_b = run("blocked")
+    np.testing.assert_allclose(W_b, W_x, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(H_b, H_x, rtol=2e-3, atol=2e-4)
