@@ -133,7 +133,8 @@ def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
         Ajj = dblk(A2, j, j)
         for k in range(j):
             Ajj = Ajj - jnp.einsum("cab,cdb->cad", L[j][k], L[j][k],
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
         Ljj = jnp.linalg.cholesky(Ajj)
         L[j][j] = Ljj
         Dinv[j] = jax.scipy.linalg.solve_triangular(
@@ -142,28 +143,34 @@ def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
             Aij = dblk(A2, i, j)
             for k in range(j):
                 Aij = Aij - jnp.einsum("cab,cdb->cad", L[i][k], L[j][k],
-                                       preferred_element_type=f32)
+                                       preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
             # L[i][j] = Aij @ Ljj^{-T}
             L[i][j] = jnp.einsum("cab,cdb->cad", Aij, Dinv[j],
-                                 preferred_element_type=f32)
+                                 preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
     # forward substitution: y_j = Ljj^{-1} (b_j - sum_{k<j} L[j][k] y_k)
     y = [None] * nb
     for j in range(nb):
         r = b2[:, j * block:(j + 1) * block]
         for k in range(j):
             r = r - jnp.einsum("cab,cb->ca", L[j][k], y[k],
-                               preferred_element_type=f32)
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
         y[j] = jnp.einsum("cab,cb->ca", Dinv[j], r,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
     # backward substitution: x_j = Ljj^{-T} (y_j - sum_{k>j} L[k][j]^T x_k)
     x = [None] * nb
     for j in range(nb - 1, -1, -1):
         r = y[j]
         for k in range(j + 1, nb):
             r = r - jnp.einsum("cba,cb->ca", L[k][j], x[k],
-                               preferred_element_type=f32)
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
         x[j] = jnp.einsum("cba,cb->ca", Dinv[j], r,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
     out = jnp.concatenate(x, axis=-1)
     return out.reshape(lead + (K,))
 

@@ -42,7 +42,7 @@ def xla_solve(A, b):
 def main():
     print("backend:", jax.devices())
     rng = np.random.default_rng(0)
-    shapes = [(2048, 256), (2048, 128), (512, 256)]
+    shapes = [(2048, 256), (2048, 128), (512, 256), (2048, 64)]
     for C, K in shapes:
         X = rng.standard_normal((C, K, 8)).astype(np.float32)
         A = np.einsum("cki,cli->ckl", X, X) / 8 + np.eye(K, dtype=np.float32)
@@ -63,10 +63,13 @@ def main():
             print(f"(C={C}, K={K}) blocked B={blk:3d}: {t_b*1e3:8.2f} ms "
                   f"({t_x/t_b:4.1f}x)  rel={rel:.1e}")
 
+    if os.environ.get("CHOL_BENCH_MICRO_ONLY"):
+        return
     # epoch-level: WMF at ML-20M-like shapes, d=256, zipf degrees
     from scipy import sparse
     from cymf_tpu.models.wmf import WMF
-    U, I, nnz = 138_000, 26_700, 2_000_000
+    U, I, nnz = 138_000, 26_700, int(
+        os.environ.get("CHOL_BENCH_NNZ", "20000000"))
     u = rng.integers(0, U, nnz)
     it = np.minimum((rng.pareto(1.1, nnz) * 30).astype(np.int64), I - 1)
     Xc = sparse.csr_matrix(
