@@ -91,11 +91,17 @@ class WMF(MFTrainerBase, PersistenceMixin):
         # ms per 2048-row chunk at K=256 — docs/ROOFLINE.md ALS
         # section) and the Woodbury form replaces it with a P^3 one
         # (`ops/als.py::wmf_chunk_solve_woodbury`), measured 1.73x on
-        # the ML-20M d=256 epoch.  auto: route P <= K chunks there when
+        # the ML-20M d=256 epoch.  auto: route small-P chunks there when
         # K >= 128 (at K=64 the Cholesky is cheap and Woodbury's extra
         # matmuls LOSE — bench wmf measured 2.15M vs 3.88M int/s),
         # weight > 1, and weight_decay >= 1e-3 (the explicit f32 A0
         # inverse loses ~cond*eps digits; cond(A0) <= ~||YtY||/wd).
+        # The cap depends on the Cholesky form (late round 5, measured
+        # per-shape at ML-20M d=256 — docs/measurements/r5/
+        # als_roofline_blocked.log): against the 2.5x-faster BLOCKED
+        # standard solve Woodbury only wins at P <= K/4 (47.7 vs 100.2
+        # ms at P=64; ties at P=128; 2x SLOWER at P=256), while against
+        # the XLA expander it wins through P <= K.
         wb_mode = __import__("os").environ.get(
             "CYMF_TPU_ALS_WOODBURY", "auto")
         if wb_mode not in ("auto", "off", "on"):
@@ -109,9 +115,12 @@ class WMF(MFTrainerBase, PersistenceMixin):
         # (`ops/als.py::resolve_chol_solver`)
         from ..ops.als import resolve_chol_solver
         solver_r = resolve_chol_solver(self.solver, self.num_components)
+        wb_auto_cap = (self.num_components // 4
+                       if solver_r == "cholesky_blocked"
+                       else self.num_components)
         wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
                     else (1 << 30) if wb_mode == "on"
-                    else self.num_components
+                    else wb_auto_cap
                     if self.weight_decay >= 1e-3
                     and self.num_components >= 128 else 0)
         self.woodbury_max_p_ = wb_max_p  # routing diagnostic

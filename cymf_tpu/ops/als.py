@@ -328,23 +328,6 @@ def woodbury_core(sub, A0inv, valid, weight, solver: str):
     return jnp.where(nonempty, x, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("solver",))
-def weighted_chunk_solve(Y, A0, idx_pad, valid, entry_weights, *,
-                         solver: str):
-    """General per-entry-weighted chunk solve:
-    A = A0 + sum_i w_i y_i y_i^T,  b = sum_i w_i y_i  over the row's padded
-    entries.  Used where confidences vary per cell."""
-    mask = valid[..., None].astype(Y.dtype)
-    sub = Y[idx_pad] * mask                                   # (C, P, K)
-    wsub = sub * entry_weights[..., None]
-    A = A0[None] + jnp.einsum("cpk,cpl->ckl", wsub, sub,
-                              preferred_element_type=jnp.float32)
-    b = jnp.sum(wsub, axis=1)
-    x = _SOLVERS[solver](A, b)
-    nonempty = jnp.any(valid, axis=1, keepdims=True)
-    return jnp.where(nonempty, x, 0.0)
-
-
 def place_device_chunks(mesh, chunks: List[AlsChunk]) -> List[AlsChunk]:
     """Device placement for ALS chunks: replicated on one device; on a
     mesh the chunk-row dim of ``idx_pad``/``valid`` is sharded (the

@@ -65,13 +65,16 @@ def main():
 
     if os.environ.get("CHOL_BENCH_MICRO_ONLY"):
         return
-    # epoch-level: WMF at ML-20M-like shapes, d=256, zipf degrees
+    # epoch-level: WMF at ML-20M shapes, d=256, the realistic bench
+    # stream (same generator as scripts/r5_als_roofline.py).  mode
+    # "xla" = the round-5 shipped config (XLA chol + Woodbury P <= K);
+    # "blocked" = blocked chol + the retuned P <= K/4 Woodbury cap.
     from scipy import sparse
+    from cymf_tpu.dataset.synthetic import bench_interactions
     from cymf_tpu.models.wmf import WMF
-    U, I, nnz = 138_000, 26_700, int(
-        os.environ.get("CHOL_BENCH_NNZ", "20000000"))
-    u = rng.integers(0, U, nnz)
-    it = np.minimum((rng.pareto(1.1, nnz) * 30).astype(np.int64), I - 1)
+    U, I, nnz = 138_493, 26_744, int(
+        os.environ.get("CHOL_BENCH_NNZ", "20000263"))
+    u, it = bench_interactions(U, I, nnz, seed=0)
     Xc = sparse.csr_matrix(
         (np.ones(nnz, np.float32), (u, it)), shape=(U, I))
     Xc.sum_duplicates(); Xc.data[:] = 1.0

@@ -155,7 +155,17 @@ def test_woodbury_auto_guard_low_weight_decay():
     assert m.woodbury_max_p_ == 0  # low wd: conditioning guard
     m2 = WMF(num_components=128, weight_decay=0.01)
     m2.fit(X, num_epochs=1, verbose=False)
-    assert m2.woodbury_max_p_ == 128
+    # auto chol -> blocked at K=128 -> measured Woodbury win region
+    # shrinks to P <= K/4 (docs/measurements/r5/als_roofline_blocked.log)
+    assert m2.woodbury_max_p_ == 32
+    import os
+    os.environ["CYMF_TPU_ALS_CHOL"] = "xla"
+    try:
+        m2b = WMF(num_components=128, weight_decay=0.01)
+        m2b.fit(X, num_epochs=1, verbose=False)
+        assert m2b.woodbury_max_p_ == 128  # vs XLA chol: wins through P<=K
+    finally:
+        del os.environ["CYMF_TPU_ALS_CHOL"]
     m3 = WMF(num_components=128, weight=1.0)  # needs weight > 1
     m3.fit(X, num_epochs=1, verbose=False)
     assert m3.woodbury_max_p_ == 0
