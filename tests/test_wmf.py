@@ -224,15 +224,24 @@ def test_wmf_fit_blocked_cholesky_matches(monkeypatch, data):
     solve-level test above pins exactness; this one guards plumbing."""
     X = sparse.csr_matrix(data.train)
 
-    def run(mode):
+    def run(mode, n_dev=1):
+        import jax
+
+        from cymf_tpu.parallel import MeshContext, use_mesh
         monkeypatch.setenv("CYMF_TPU_ALS_CHOL", mode)
         monkeypatch.setenv("CYMF_TPU_ALS_WOODBURY", "off")
         np.random.seed(9)
-        m = WMF(num_components=128, chunk_size=64, weight_decay=1.0)
-        m.fit(X, num_epochs=1, verbose=False)
-        return m.W.copy(), m.H.copy()
+        with use_mesh(MeshContext.create(jax.devices()[:n_dev])):
+            m = WMF(num_components=128, chunk_size=64, weight_decay=1.0)
+            m.fit(X, num_epochs=1, verbose=False)
+            return m.W.copy(), m.H.copy()
 
     W_x, H_x = run("xla")
     W_b, H_b = run("blocked")
     np.testing.assert_allclose(W_b, W_x, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(H_b, H_x, rtol=2e-3, atol=2e-4)
+    # sharded chunk solver with the blocked solver name (trace-time
+    # routing inside parallel/shard_step.py::sharded_wmf_chunk)
+    W8_b, H8_b = run("blocked", n_dev=8)
+    np.testing.assert_allclose(W8_b, W_x, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(H8_b, H_x, rtol=2e-3, atol=2e-4)
