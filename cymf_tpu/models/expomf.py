@@ -39,8 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from ..ops.als import (AlsChunk, _SOLVERS, build_chunks,  # noqa: F401
-                       solve_lu, solve_spd)
+from ..ops.als import AlsChunk, build_chunks, get_solver
 from .base import MFTrainerBase, PersistenceMixin, as_csr
 
 
@@ -85,7 +84,7 @@ def _expomf_chunk(E_src, E_other, Y, mu_term, rows, idx_pad, valid,
         "ci,ik,il->ckl", E, Y, Y, preferred_element_type=jnp.float32)
     sub = Y[idx_pad] * valid[..., None].astype(Y.dtype)
     b = lam_y * jnp.sum(sub, axis=1)                        # E=1 at observed
-    x = _SOLVERS[solver](A, b)
+    x = get_solver(solver)(A, b)
     nonempty = jnp.any(valid, axis=1, keepdims=True)
     return jnp.where(nonempty, x, 0.0), e_colsum
 
@@ -101,7 +100,7 @@ class ExpoMF(MFTrainerBase, PersistenceMixin):
         self.lam_y = float(lam_y)
         self.weight_decay = float(weight_decay)
         self.chunk_size = int(chunk_size)
-        if solver not in _SOLVERS:
+        if solver not in ("cholesky", "lu"):
             raise ValueError("solver must be 'cholesky' or 'lu'")
         self.solver = solver
         # paper-correct Gaussian prefactor; pass sqrt(lam_y*pi/2) to

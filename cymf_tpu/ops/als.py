@@ -38,7 +38,8 @@ def solve_spd_xla(A: jax.Array, b: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
-def solve_spd_blocked(A: jax.Array, b: jax.Array) -> jax.Array:
+def solve_spd_blocked(A: jax.Array, b: jax.Array,
+                      block: int = 64) -> jax.Array:
     """Batched SPD solve via the JAX-level blocked Cholesky (round 5 —
     the last ALS d>=256 wall, docs/ROOFLINE.md).
 
@@ -51,13 +52,13 @@ def solve_spd_blocked(A: jax.Array, b: jax.Array) -> jax.Array:
     diagonal-block inverses so the substitution phase is matmuls too
     (no TriangularSolve expander anywhere at K x K).  Identical
     solution up to f32 round-off.  Falls back to the XLA form when the
-    matrix is not divisible by / larger than the block
-    (``CYMF_TPU_ALS_CHOL_BLOCK``, default 64) — e.g. the tiny P x P
-    Woodbury capacitance solves.
+    matrix is not divisible by / larger than ``block`` — e.g. the tiny
+    P x P Woodbury capacitance solves.  ``block`` is a trace-time
+    constant: jitted callers receive it through the solver NAME
+    (``cholesky_blocked<block>``, see :func:`resolve_chol_solver` /
+    :func:`get_solver`) so it participates in the jit cache key.
     """
-    import os
     K = A.shape[-1]
-    block = int(os.environ.get("CYMF_TPU_ALS_CHOL_BLOCK", "64"))
     if K > block and K % block == 0:
         return _solve_spd_blocked(A, b, block)
     return solve_spd_xla(A, b)
@@ -65,15 +66,20 @@ def solve_spd_blocked(A: jax.Array, b: jax.Array) -> jax.Array:
 
 def resolve_chol_solver(solver: str, num_components: int) -> str:
     """Resolve the user-facing ``"cholesky"`` solver name to an explicit
-    ``cholesky_xla`` / ``cholesky_blocked`` form per the
+    ``cholesky_xla`` / ``cholesky_blocked<block>`` form per the
     ``CYMF_TPU_ALS_CHOL`` knob (auto|xla|blocked; auto = blocked at
     K >= 128, where the XLA expander's panel loop dominates the chunk
-    solve — docs/ROOFLINE.md ALS section).
+    solve — docs/ROOFLINE.md ALS section) and the
+    ``CYMF_TPU_ALS_CHOL_BLOCK`` block size (default 64, the measured
+    optimum).
 
-    Models call this ONCE per fit so the choice lands in every jit
+    Models call this ONCE per fit so BOTH choices land in every jit
     cache key (the solver string is a static argument everywhere);
-    reading the env inside a traced function would not retrace on a
-    knob change.
+    reading env inside a traced function would not retrace on a knob
+    change.  When the blocked form cannot engage at the table size
+    (``num_components`` not divisible by / larger than the block) the
+    XLA name is returned so downstream policy (e.g. the WMF Woodbury
+    cap) keys off the solver that actually runs.
     """
     if solver != "cholesky":
         return solver
@@ -82,22 +88,29 @@ def resolve_chol_solver(solver: str, num_components: int) -> str:
     if mode not in ("auto", "xla", "blocked"):
         raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked")
     if mode == "blocked" or (mode == "auto" and num_components >= 128):
-        return "cholesky_blocked"
+        block = int(os.environ.get("CYMF_TPU_ALS_CHOL_BLOCK", "64"))
+        if num_components > block and num_components % block == 0:
+            return f"cholesky_blocked{block}"
     return "cholesky_xla"
 
 
 def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
     """Batched SPD solve: auto-routed between the XLA and blocked
-    Cholesky forms by matrix size (see :func:`resolve_chol_solver`;
-    direct eager callers get the env read per call — jitted model code
-    resolves the name up front instead)."""
-    import os
-    mode = os.environ.get("CYMF_TPU_ALS_CHOL", "auto")
-    if mode not in ("auto", "xla", "blocked"):
-        raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked")
-    if mode == "blocked" or (mode == "auto" and A.shape[-1] >= 128):
-        return solve_spd_blocked(A, b)
-    return solve_spd_xla(A, b)
+    Cholesky forms by matrix size (delegates to
+    :func:`resolve_chol_solver`; for EAGER use — jitted model code
+    resolves the name up front instead so knob changes retrace)."""
+    return get_solver(resolve_chol_solver("cholesky", A.shape[-1]))(A, b)
+
+
+def get_solver(name: str):
+    """Solver-name -> callable, including parameterized
+    ``cholesky_blocked<block>`` names (the block size rides the name so
+    it is part of every jit cache key)."""
+    if name.startswith("cholesky_blocked"):
+        suffix = name[len("cholesky_blocked"):]
+        block = int(suffix) if suffix else 64
+        return functools.partial(solve_spd_blocked, block=block)
+    return _SOLVERS[name]
 
 
 def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
@@ -180,7 +193,11 @@ def solve_lu(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.linalg.solve(A, b[..., None])[..., 0]
 
 
-_SOLVERS = {"cholesky": solve_spd, "cholesky_xla": solve_spd_xla,
+# NOTE: the bare "cholesky" entry is the deterministic XLA form — an
+# UNRESOLVED name reaching a jitted solver lookup must not capture env
+# state at trace time (stale-cache hazard); auto routing happens in
+# resolve_chol_solver / the eager solve_spd.
+_SOLVERS = {"cholesky": solve_spd_xla, "cholesky_xla": solve_spd_xla,
             "cholesky_blocked": solve_spd_blocked, "lu": solve_lu}
 
 
@@ -266,7 +283,7 @@ def wmf_chunk_solve(Y, A0, idx_pad, valid, weight, *, solver: str):
     A = A0[None] + (weight - 1.0) * jnp.einsum(
         "cpk,cpl->ckl", sub, sub, preferred_element_type=jnp.float32)
     b = weight * jnp.sum(sub, axis=1)
-    x = _SOLVERS[solver](A, b)
+    x = get_solver(solver)(A, b)
     nonempty = jnp.any(valid, axis=1, keepdims=True)
     return jnp.where(nonempty, x, 0.0)
 
@@ -321,7 +338,7 @@ def woodbury_core(sub, A0inv, valid, weight, solver: str):
     # padded (all-invalid) P positions contribute zero rows to M; the
     # identity diagonal keeps it SPD, and their z entries multiply zero
     # columns of T — the padding is self-cancelling
-    z = _SOLVERS[solver](M, UtA0ib)
+    z = get_solver(solver)(M, UtA0ib)
     x = A0ib - jnp.einsum("cpk,cp->ck", T, z,
                           preferred_element_type=jnp.float32)
     nonempty = jnp.any(valid, axis=1, keepdims=True)

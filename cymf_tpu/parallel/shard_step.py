@@ -264,7 +264,7 @@ def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
     Returns ``fn(Y, T, rows, idx_pad, valid) -> T`` (jitted; T donated).
     """
     from .. import config
-    from ..ops.als import _SOLVERS
+    from ..ops.als import get_solver
 
     mesh = mesh_ctx.mesh
     n = mesh_ctx.num_devices
@@ -300,7 +300,7 @@ def sharded_wmf_chunk(mesh_ctx, weight: float, weight_decay: float,
                     "cpk,cpl->ckl", sub, sub,
                     preferred_element_type=jnp.float32)
                 b = w * jnp.sum(sub, axis=1)
-                x = _SOLVERS[solver](A, b)
+                x = get_solver(solver)(A, b)
                 nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
                 x = jnp.where(nonempty, x, 0.0)
             x_all = jax.lax.all_gather(x, ROW_AXIS, tiled=True)  # (C, K)
@@ -420,7 +420,7 @@ def sharded_expomf_chunk(mesh_ctx, lam_y: float, weight_decay: float,
     ``[Co_pad]`` row-sharded sum of E over the chunk's live rows (the
     mu update operand; all-zero for the item sweep caller to ignore).
     """
-    from ..ops.als import _SOLVERS
+    from ..ops.als import get_solver
 
     if mu_axis not in ("col", "row"):
         raise ValueError("mu_axis must be 'col' or 'row'")
@@ -491,7 +491,7 @@ def sharded_expomf_chunk(mesh_ctx, lam_y: float, weight_decay: float,
             sub = _resolve_rows(Y_s, flat_all, rpd_o).reshape(Cn, Pp, -1)
             sub = sub * valid_loc[..., None].astype(Y_s.dtype)
             b = lam * jnp.sum(sub, axis=1)
-            x = _SOLVERS[solver](A_loc, b)
+            x = get_solver(solver)(A_loc, b)
             nonempty = jnp.any(valid_loc, axis=1, keepdims=True)
             x = jnp.where(nonempty, x, 0.0)
             x_all = jax.lax.all_gather(x, ROW_AXIS, tiled=True)  # (C, K)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cymf_tpu.ops.als import _solve_spd_blocked
+from cymf_tpu.ops.als import _solve_spd_blocked, solve_spd_xla
 
 
 def timeit(fn, *args, reps=5):
@@ -31,12 +31,7 @@ def timeit(fn, *args, reps=5):
     return (time.time() - t0) / reps, s
 
 
-def xla_solve(A, b):
-    L = jnp.linalg.cholesky(A)
-    y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False)
-    return x[..., 0]
+xla_solve = solve_spd_xla  # the library's own baseline form
 
 
 def main():

@@ -144,10 +144,11 @@ def test_woodbury_invalid_mode(monkeypatch):
             WMF(num_components=8).fit(X, num_epochs=1, verbose=False)
 
 
-def test_woodbury_auto_guard_low_weight_decay():
+def test_woodbury_auto_guard_low_weight_decay(monkeypatch):
     """auto routing requires K >= 128 (measured: at K=64 the Cholesky
     is cheap and Woodbury LOSES), weight > 1, and weight_decay >= 1e-3
     (the explicit f32 A0 inverse degrades with cond(A0) ~ ||YtY||/wd)."""
+    monkeypatch.delenv("CYMF_TPU_ALS_CHOL", raising=False)
     X = sparse.random(60, 40, density=0.1, random_state=0, format="csr",
                       data_rvs=lambda n: np.ones(n))
     m = WMF(num_components=128, weight_decay=1e-4)
@@ -158,14 +159,20 @@ def test_woodbury_auto_guard_low_weight_decay():
     # auto chol -> blocked at K=128 -> measured Woodbury win region
     # shrinks to P <= K/4 (docs/measurements/r5/als_roofline_blocked.log)
     assert m2.woodbury_max_p_ == 32
-    import os
-    os.environ["CYMF_TPU_ALS_CHOL"] = "xla"
-    try:
-        m2b = WMF(num_components=128, weight_decay=0.01)
-        m2b.fit(X, num_epochs=1, verbose=False)
-        assert m2b.woodbury_max_p_ == 128  # vs XLA chol: wins through P<=K
-    finally:
-        del os.environ["CYMF_TPU_ALS_CHOL"]
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "xla")
+    m2b = WMF(num_components=128, weight_decay=0.01)
+    m2b.fit(X, num_epochs=1, verbose=False)
+    assert m2b.woodbury_max_p_ == 128  # vs XLA chol: wins through P<=K
+    # blocked requested but cannot engage at this K (not divisible by
+    # the block): the resolved name falls back to XLA and the cap must
+    # follow the solver that actually runs
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "blocked")
+    monkeypatch.setenv("CYMF_TPU_ALS_CHOL_BLOCK", "96")
+    m2c = WMF(num_components=128, weight_decay=0.01)
+    m2c.fit(X, num_epochs=1, verbose=False)
+    assert m2c.woodbury_max_p_ == 128
+    monkeypatch.delenv("CYMF_TPU_ALS_CHOL")
+    monkeypatch.delenv("CYMF_TPU_ALS_CHOL_BLOCK")
     m3 = WMF(num_components=128, weight=1.0)  # needs weight > 1
     m3.fit(X, num_epochs=1, verbose=False)
     assert m3.woodbury_max_p_ == 0
