@@ -116,7 +116,8 @@ class WMF(MFTrainerBase, PersistenceMixin):
         from ..ops.als import resolve_chol_solver
         solver_r = resolve_chol_solver(self.solver, self.num_components)
         wb_auto_cap = (self.num_components // 4
-                       if solver_r.startswith("cholesky_blocked")
+                       if solver_r.startswith(("cholesky_blocked",
+                                               "cholesky_pallas"))
                        else self.num_components)
         wb_max_p = (0 if wb_mode == "off" or self.weight <= 1.0
                     else (1 << 30) if wb_mode == "on"

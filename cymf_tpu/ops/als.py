@@ -39,7 +39,7 @@ def solve_spd_xla(A: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def solve_spd_blocked(A: jax.Array, b: jax.Array,
-                      block: int = 64) -> jax.Array:
+                      block: int = 64, diag: str = "xla") -> jax.Array:
     """Batched SPD solve via the JAX-level blocked Cholesky (round 5 —
     the last ALS d>=256 wall, docs/ROOFLINE.md).
 
@@ -60,7 +60,7 @@ def solve_spd_blocked(A: jax.Array, b: jax.Array,
     """
     K = A.shape[-1]
     if K > block and K % block == 0:
-        return _solve_spd_blocked(A, b, block)
+        return _solve_spd_blocked(A, b, block, diag)
     return solve_spd_xla(A, b)
 
 
@@ -85,12 +85,21 @@ def resolve_chol_solver(solver: str, num_components: int) -> str:
         return solver
     import os
     mode = os.environ.get("CYMF_TPU_ALS_CHOL", "auto")
-    if mode not in ("auto", "xla", "blocked"):
-        raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked")
-    if mode == "blocked" or (mode == "auto" and num_components >= 128):
+    if mode not in ("auto", "xla", "blocked", "pallas"):
+        raise ValueError("CYMF_TPU_ALS_CHOL must be auto|xla|blocked|pallas")
+    if mode != "xla" and num_components >= (0 if mode != "auto" else 128):
         block = int(os.environ.get("CYMF_TPU_ALS_CHOL_BLOCK", "64"))
         if num_components > block and num_components % block == 0:
-            return f"cholesky_blocked{block}"
+            if mode == "auto":
+                # measured on v5e (docs/measurements/r5/pallas_solve.log):
+                # the in-VMEM Pallas diagonal kernel is 1.5x the JAX
+                # blocked form on TPU; off-TPU it would run interpret
+                # mode, so the CPU mesh keeps the XLA-diag blocked form
+                kind = ("pallas" if jax.default_backend() == "tpu"
+                        else "blocked")
+            else:
+                kind = "pallas" if mode == "pallas" else "blocked"
+            return f"cholesky_{kind}{block}"
     return "cholesky_xla"
 
 
@@ -106,14 +115,18 @@ def get_solver(name: str):
     """Solver-name -> callable, including parameterized
     ``cholesky_blocked<block>`` names (the block size rides the name so
     it is part of every jit cache key)."""
-    if name.startswith("cholesky_blocked"):
-        suffix = name[len("cholesky_blocked"):]
-        block = int(suffix) if suffix else 64
-        return functools.partial(solve_spd_blocked, block=block)
+    for kind, diag in (("cholesky_blocked", "xla"),
+                       ("cholesky_pallas", "pallas")):
+        if name.startswith(kind):
+            suffix = name[len(kind):]
+            block = int(suffix) if suffix else 64
+            return functools.partial(solve_spd_blocked, block=block,
+                                     diag=diag)
     return _SOLVERS[name]
 
 
-def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
+def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int,
+                       diag: str = "xla") -> jax.Array:
     """Batched blocked left-looking Cholesky solve (see :func:`solve_spd`).
 
     The matrix is partitioned into ``nb = K/block`` block rows.  Per
@@ -140,6 +153,24 @@ def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
         return M[:, i * block:(i + 1) * block, j * block:(j + 1) * block]
 
     eye = jnp.eye(block, dtype=A2.dtype)
+    def xla_diag(Ajj):
+        Ljj = jnp.linalg.cholesky(Ajj)
+        return Ljj, jax.scipy.linalg.solve_triangular(
+            Ljj, jnp.broadcast_to(eye, Ljj.shape), lower=True)
+
+    if diag == "pallas":
+        from .chol_kernel import chol_inv_batched
+        interpret = jax.default_backend() != "tpu"
+
+        def diag_factor(Ajj):
+            # small batches: (G < 8, B) vectors trip a Mosaic relayout
+            # ("non-singleton dimension replicated") and the XLA
+            # expander is cheap there anyway (found on hardware)
+            if Ajj.shape[0] < 256:
+                return xla_diag(Ajj)
+            return chol_inv_batched(Ajj, block=block, interpret=interpret)
+    else:
+        diag_factor = xla_diag
     L = [[None] * nb for _ in range(nb)]
     Dinv = [None] * nb
     for j in range(nb):
@@ -148,10 +179,7 @@ def _solve_spd_blocked(A: jax.Array, b: jax.Array, block: int) -> jax.Array:
             Ajj = Ajj - jnp.einsum("cab,cdb->cad", L[j][k], L[j][k],
                                    preferred_element_type=f32,
                                precision=jax.lax.Precision.HIGHEST)
-        Ljj = jnp.linalg.cholesky(Ajj)
-        L[j][j] = Ljj
-        Dinv[j] = jax.scipy.linalg.solve_triangular(
-            Ljj, jnp.broadcast_to(eye, Ljj.shape), lower=True)
+        L[j][j], Dinv[j] = diag_factor(Ajj)
         for i in range(j + 1, nb):
             Aij = dblk(A2, i, j)
             for k in range(j):

@@ -415,6 +415,30 @@ def main():
             f"FAIL: {type(e).__name__}: {str(e)[:300]}"
         print(f"  relmf_device: FAIL {type(e).__name__}: {e}", flush=True)
 
+    print("[chol] pallas diagonal-block Cholesky+inverse (B=64)", flush=True)
+    try:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from cymf_tpu.ops.chol_kernel import chol_inv_batched
+        rngc = np.random.default_rng(11)
+        Xc = rngc.standard_normal((256, 64, 8)).astype(np.float32)
+        Ac = np.einsum("cki,cli->ckl", Xc, Xc) / 8 \
+            + np.eye(64, dtype=np.float32)
+        t0 = _time.time()
+        L_t, Li_t = chol_inv_batched(jnp.asarray(Ac), block=64,
+                                     interpret=not on_tpu)
+        L_t = np.array(L_t); Li_t = np.array(Li_t)
+        print(f"  compiled+ran in {_time.time()-t0:.1f}s", flush=True)
+        L_i, Li_i = chol_inv_batched(jnp.asarray(Ac), block=64,
+                                     interpret=True)
+        _cmp("chol_kernel", (L_t, Li_t, 0.0),
+             (np.array(L_i), np.array(Li_i), 0.0), results)
+    except Exception as e:
+        results["chol_kernel"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+        print(f"  chol_kernel: FAIL {type(e).__name__}: {e}", flush=True)
+
     # which version does the headline bench run? (host-side prep only)
     try:
         from cymf_tpu.dataset.synthetic import bench_interactions
