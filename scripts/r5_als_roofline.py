@@ -33,7 +33,11 @@ Xt = X.T.tocsr()
 Xt.sort_indices()
 
 rng = np.random.default_rng(0)
-print(f"devices={jax.devices()} K={K}", flush=True)
+# resolve the CYMF_TPU_ALS_CHOL knob ONCE (the bare "cholesky" name is
+# the deterministic XLA form since the round-5 solver-name rework)
+from cymf_tpu.ops.als import resolve_chol_solver  # noqa: E402
+SOLVER = resolve_chol_solver("cholesky", K)
+print(f"devices={jax.devices()} K={K} solver={SOLVER}", flush=True)
 
 
 def t_of(fn, *args, reps=2):
@@ -67,7 +71,7 @@ def stage_einsum(Y, A0, idx, valid):
 @jax.jit
 def stage_full(Y, A0, idx, valid):
     return jnp.sum(wmf_chunk_solve(Y, A0, idx, valid,
-                                   jnp.float32(10.0), solver="cholesky"))
+                                   jnp.float32(10.0), solver=SOLVER))
 
 
 @jax.jit
