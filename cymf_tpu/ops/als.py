@@ -66,10 +66,12 @@ def solve_spd_blocked(A: jax.Array, b: jax.Array,
 
 def resolve_chol_solver(solver: str, num_components: int) -> str:
     """Resolve the user-facing ``"cholesky"`` solver name to an explicit
-    ``cholesky_xla`` / ``cholesky_blocked<block>`` form per the
-    ``CYMF_TPU_ALS_CHOL`` knob (auto|xla|blocked; auto = blocked at
-    K >= 128, where the XLA expander's panel loop dominates the chunk
-    solve — docs/ROOFLINE.md ALS section) and the
+    ``cholesky_xla`` / ``cholesky_blocked<block>`` /
+    ``cholesky_pallas<block>`` form per the ``CYMF_TPU_ALS_CHOL`` knob
+    (auto|xla|blocked|pallas; auto = the fast forms at K >= 128 —
+    pallas on TPU backends, blocked elsewhere — where the XLA
+    expander's panel loop dominates the chunk solve, docs/ROOFLINE.md
+    ALS sections) and the
     ``CYMF_TPU_ALS_CHOL_BLOCK`` block size (default 64, the measured
     optimum).
 
@@ -226,7 +228,7 @@ def solve_lu(A: jax.Array, b: jax.Array) -> jax.Array:
 # state at trace time (stale-cache hazard); auto routing happens in
 # resolve_chol_solver / the eager solve_spd.
 _SOLVERS = {"cholesky": solve_spd_xla, "cholesky_xla": solve_spd_xla,
-            "cholesky_blocked": solve_spd_blocked, "lu": solve_lu}
+            "lu": solve_lu}
 
 
 class AlsChunk(NamedTuple):

@@ -94,6 +94,16 @@ def chol_inv_batched(A: jax.Array, *, block: int = 64,
     G = max(1, min(C, (1 << 20) // (B * B * 4)))         # ~1MB per buffer
     while C % G:
         G -= 1
+    if G < 8:
+        # the divisor search can collapse (C with no divisor in [8, 64],
+        # or a large CYMF_TPU_ALS_CHOL_BLOCK shrinking the tile budget):
+        # sub-8-sublane tiles trip a Mosaic relayout on (G, B) vectors
+        # (found on hardware), and such batches are cheap on XLA anyway
+        L = jnp.linalg.cholesky(A.astype(jnp.float32))
+        eye = jnp.eye(B, dtype=jnp.float32)
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+        return L, Linv
     grid = (C // G,)
     kern = functools.partial(_chol_inv_kernel, B=B)
     L, Linv = pl.pallas_call(

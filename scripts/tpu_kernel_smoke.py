@@ -433,8 +433,17 @@ def main():
         print(f"  compiled+ran in {_time.time()-t0:.1f}s", flush=True)
         L_i, Li_i = chol_inv_batched(jnp.asarray(Ac), block=64,
                                      interpret=True)
-        _cmp("chol_kernel", (L_t, Li_t, 0.0),
-             (np.array(L_i), np.array(Li_i), 0.0), results)
+        # STRICT compare — no Adam sign-flip drift bucket applies to a
+        # Cholesky kernel: anything beyond f32 round-off is a lowering bug
+        dmax = max(float(np.abs(L_t - np.array(L_i)).max()),
+                   float(np.abs(Li_t - np.array(Li_i)).max()))
+        if dmax < 1e-4:
+            results["chol_kernel"] = "MATCH"
+            print(f"  chol_kernel: MATCH (max |tpu-interp| {dmax:.1e})",
+                  flush=True)
+        else:
+            results["chol_kernel"] = f"MISMATCH (max {dmax:.3e})"
+            print(f"  chol_kernel: MISMATCH (max {dmax:.3e})", flush=True)
     except Exception as e:
         results["chol_kernel"] = f"FAIL: {type(e).__name__}: {str(e)[:300]}"
         print(f"  chol_kernel: FAIL {type(e).__name__}: {e}", flush=True)

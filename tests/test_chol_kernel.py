@@ -50,6 +50,7 @@ def test_resolve_pallas_modes(monkeypatch):
 
     from cymf_tpu.ops.als import resolve_chol_solver
 
+    monkeypatch.delenv("CYMF_TPU_ALS_CHOL_BLOCK", raising=False)
     monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "pallas")
     assert resolve_chol_solver("cholesky", 256) == "cholesky_pallas64"
     monkeypatch.setenv("CYMF_TPU_ALS_CHOL", "auto")
@@ -58,3 +59,15 @@ def test_resolve_pallas_modes(monkeypatch):
     assert resolve_chol_solver("cholesky", 256) == expected
     # non-divisible K cannot engage either fast form
     assert resolve_chol_solver("cholesky", 144) == "cholesky_xla"
+
+
+def test_g_collapse_falls_back_to_xla():
+    """Batches whose size has no divisor in [8, 64] would collapse the
+    VMEM tile below 8 sublanes (a Mosaic relayout hazard on hardware) —
+    the wrapper must solve them via the XLA path instead."""
+    rng = np.random.default_rng(7)
+    A = _spd(rng, 262, 64)  # 262 = 2 * 131: largest divisor <= 64 is 2
+    L, Linv = chol_inv_batched(jnp.asarray(A), block=64, interpret=True)
+    Lref = np.linalg.cholesky(A)
+    assert np.abs(np.array(L) - Lref).max() / np.abs(Lref).max() < 1e-4
+    assert np.abs(np.array(Linv) @ Lref - np.eye(64)).max() < 1e-3
