@@ -14,7 +14,7 @@ reference, whose `sklearn.utils.shuffle` is likewise untimed outside the
 epoch loop, `/root/reference/cymf/bpr.pyx:104`).
 
 Environment knobs:
-  BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|relmf|expomf|
+  BENCH_MODEL=bpr|bpr_pool|bpr_wide|bpr_xla|bpr_pallas|wmf|wmf256|relmf|expomf|
               relmf_packed|glove|glove_packed|evaluator|recommend|all
   BENCH_POOL=P      pool size for bpr_pool (default 1024)
   BENCH_SMALL=1     quick smoke run (1M interactions)
@@ -383,6 +383,52 @@ def bench_wmf():
                 "favors the reference if its rate degrades superlinearly "
                 "with scale (ALS work is O(nnz*K^2 + rows*K^3)), so the "
                 "ratio is a lower bound on the true speedup."),
+            "vs_baseline": round(rate / 553_750.0, 2)}
+
+
+def bench_wmf256():
+    """ALS sweep rate at the BASELINE.json scale config (ML-20M, d=256)
+    — the round-5 Woodbury + blocked/Pallas-Cholesky path.  MARGINAL
+    epoch protocol: time fit(1) then fit(4) warm and report the 3-epoch
+    difference, excluding the per-FIT constant (~29 s of relay upload
+    of tables+chunks at ~12.5 MB/s random-payload rate — an environment
+    artifact absent on local hosts, docs/measurements/r5/
+    table_probe.log)."""
+    from scipy import sparse
+
+    from cymf_tpu.dataset.synthetic import bench_interactions
+    from cymf_tpu.models.wmf import WMF
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    U, I = 138493, 26744
+    nnz = 1_000_000 if small else 20_000_263
+    users, items = bench_interactions(U, I, nnz, seed=0)
+    X = sparse.csr_matrix((np.ones(len(users), np.float64), (users, items)),
+                          shape=(U, I))
+    X.data[:] = 1.0
+    m = WMF(num_components=256)
+    m.fit(X, num_epochs=1, verbose=False)  # compile
+    t0 = time.perf_counter()
+    m.fit(X, num_epochs=1, verbose=False)
+    _ = m.W
+    t1 = time.perf_counter()
+    m.fit(X, num_epochs=4, verbose=False)
+    _ = m.W
+    t4 = time.perf_counter()
+    marg = (t4 - t1) - (t1 - t0)
+    # the subtraction is noise-dominated when epochs are tiny (e.g.
+    # BENCH_SMALL): fall back to the plain per-epoch mean there
+    dt = marg / 3.0 if marg > 0.1 * (t4 - t1) else (t4 - t1) / 4.0
+    rate = X.nnz / dt
+    return {"metric": "wmf256_als_interactions_per_sec",
+            "value": round(rate, 1),
+            "unit": "interactions/s (marginal epoch, d=256)",
+            "normalization": (
+                "marginal-epoch rate at ML-20M d=256 (fit(4)-fit(1) "
+                "warm walls / 3); baseline 553,750 int/s normalized "
+                "from the reference's ml-100k d=20 rate — ALS work "
+                "grows ~K^2, so the ratio strongly favors the "
+                "reference."),
             "vs_baseline": round(rate / 553_750.0, 2)}
 
 
@@ -827,6 +873,7 @@ _MODES = {
     "bpr_xla": bench_bpr_xla,
     "bpr_pallas": bench_bpr_pallas,
     "wmf": bench_wmf,
+    "wmf256": bench_wmf256,
     "relmf": bench_relmf,
     "relmf_packed": bench_relmf_packed,
     "relmf_ml20m": bench_relmf_ml20m,
